@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the quality-filter workload.
+
+Defaults are chosen for the 100 TB design point but work on local[N]:
+  * AQE on (runtime skew-join splitting + partition coalescing);
+  * Arrow enabled with a bounded batch size so binary image rows don't
+    blow up the Python worker (SURVEY.md section 4: Arrow batch sizing);
+  * shuffle partitions sized by env so the bench can sweep parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def build_session(app_name: str = "bioanalyzer-spark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra_conf: dict[str, str] | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, int(cpus))
+        except ValueError:
+            shuffle_partitions = 32
+
+    b = (SparkSession.builder.appName(app_name).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # image rows carry ~10-100 KB binary payloads: cap Arrow batches
+         # so a batch stays well under executor-python memory
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         .config("spark.ui.enabled", "false"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver-provided parquet tables as temp views."""
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)

@@ -1,0 +1,171 @@
+"""Single source of truth for the quality-rule battery.
+
+Every constant here is consumed by THREE implementations that must agree
+bit-for-bit:
+
+  * ``sqlgen.py``            -> Spark SQL (runs on the cluster)
+  * ``sqlgen.py``            -> DuckDB SQL (the driver's correctness oracle)
+  * ``rules/reference_impl`` -> pure numpy/pandas (the "reference labels"
+                                 oracle for pytest, north-rule F1 >= 0.99)
+
+The rule *shape* mirrors the reference engine's quality checks
+(waldronlab/bioanalyzer-backend):
+
+  * pattern dictionaries per field   -> app/utils/field_validator.py:30-69
+  * per-category keyword scoring     -> app/utils/methods_scorer.py:114-127
+  * weighted document rollup         -> app/utils/methods_scorer.py:77-92
+  * PRESENT/PARTIAL/ABSENT banding   -> app/utils/field_validator.py:100-108
+    (including the reference's quirk: confidence in (0.7, 0.8) is ABSENT)
+  * null-sentinel handling           -> field_validator.py:92-95,
+                                        bugsigdb_analyzer.py:140
+  * readiness (keep/drop) decision   -> app/models/gemini_qa.py:142-153,657-663
+  * regex scrub chain                -> app/utils/text_processing.py:110-125
+
+All regexes are written in the common subset of Java regex (Spark), RE2
+(DuckDB) and Python ``re``: no lookaround, no backrefs, explicit ASCII
+classes (``[0-9]`` not ``\\d``) so the three engines agree on semantics.
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# Tokenization
+# --------------------------------------------------------------------------
+
+# Explicit ASCII whitespace class: identical in Java regex, RE2 and Python re.
+WS_CLASS = r"[ \t\r\n]"
+TOKEN_SPLIT_RE = WS_CLASS + "+"
+
+# Strip leading/trailing non-alphanumerics from a lowered token before
+# stopword matching ("word," -> "word").
+TOKEN_TRIM_RE = r"^[^a-z0-9]+|[^a-z0-9]+$"
+
+# --------------------------------------------------------------------------
+# Stopword lists (langid marker words double as stopword-density evidence).
+# Mirrors the keyword-map shape of fallback_extractor.py:14-45.
+# --------------------------------------------------------------------------
+
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "an", "of", "in", "on", "and", "to", "with", "is",
+           "are", "for", "at", "by", "from", "this", "that", "it"),
+    "es": ("el", "los", "las", "y", "que", "un", "una", "es", "con", "por",
+           "para", "del", "se", "su", "como"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "von", "ein", "eine",
+           "im", "für", "auf", "nicht", "den", "zu"),
+    "fr": ("le", "les", "et", "une", "est", "dans", "pour", "sur", "avec",
+           "au", "ce", "qui", "ne", "pas"),
+    # shared between es/fr on purpose (real-world ambiguity)
+    "_shared": ("la", "de", "en"),
+}
+
+# Flat, ordered, deduplicated union used by the stopword-density rule.
+ALL_STOPWORDS: tuple[str, ...] = tuple(dict.fromkeys(
+    w for lang in ("en", "es", "de", "fr", "_shared") for w in STOPWORDS[lang]
+))
+
+# --------------------------------------------------------------------------
+# Null-sentinel captions (field_validator.py:92-95; bugsigdb_analyzer.py:140)
+# --------------------------------------------------------------------------
+
+NULL_SENTINELS: tuple[str, ...] = (
+    "", "unknown", "not specified", "n/a", "none", "not found",
+    "not available", "null",
+)
+
+# --------------------------------------------------------------------------
+# PII / noise scrub chain (applied IN ORDER).
+# Regex-chain style of text_processing.py:110-125 (citation refs, figure
+# refs, URLs, whitespace collapse) extended with PII (emails/phones/IDs).
+# Patterns use [0-9] (never \d: Python \d is unicode-wide) and avoid
+# lookaround (RE2 has none).
+# --------------------------------------------------------------------------
+
+SCRUB_CHAIN: tuple[tuple[str, str], ...] = (
+    # URLs first so emails inside URLs don't double-fire.
+    (r"(https?://|www\.)[^ \t\r\n]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    # SSN-shaped ids.
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+    # Phone-shaped: 9+ digits with separators, optional leading +.
+    (r"\+?[0-9][0-9()., -]{7,}[0-9]", "<PHONE>"),
+    # Citation refs "[1, 2]" (text_processing.py:112).
+    (r"\[[0-9]+(,[ ]*[0-9]+)*\]", ""),
+    # Figure/table refs (text_processing.py:115-118).
+    (r"\((Figure|Fig\.?|Table)[ ]*[0-9]+[A-Za-z]?\)", ""),
+    # Whitespace collapse LAST (text_processing.py:121).
+    (WS_CLASS + "+", " "),
+)
+
+# --------------------------------------------------------------------------
+# Rule battery — five heuristic caption-quality rules.
+# Weights follow the reference's overall-score rollup shape
+# (methods_scorer.py:77-92: 0.25/0.25/0.20/0.15/0.15).
+# --------------------------------------------------------------------------
+
+RULE_NAMES: tuple[str, ...] = ("len", "word", "rep", "alpha", "stop")
+
+RULE_WEIGHTS: dict[str, float] = {
+    "len": 0.25,     # caption length band
+    "word": 0.25,    # token count + mean word length sanity
+    "rep": 0.20,     # distinct-token ratio (repetition penalty)
+    "alpha": 0.15,   # alphabetic char ratio (symbol-soup penalty)
+    "stop": 0.15,    # stopword density (natural-language evidence)
+}
+
+# Length rule bands (chars of trimmed caption).
+LEN_FULL_LO = 20      # below this: score scales up linearly, halved
+LEN_FULL_HI = 600     # above this: linear decay
+LEN_DECAY = 600.0     # decay run length
+
+# Word rule.
+WORD_TOK_FULL = 8.0          # tokens for full score
+WORD_AVG_LEN_LO = 2.0        # sane mean word length band
+WORD_AVG_LEN_HI = 12.0
+WORD_AVG_LEN_PENALTY = 0.3   # multiplier outside the band
+
+# Repetition rule.
+REP_MIN_TOKENS = 4           # below this, repetition is not judged
+REP_BOOST = 1.25             # distinct ratio * boost, clamped to 1
+
+# Alpha rule.
+ALPHA_BOOST = 1.25
+
+# Stopword rule: score = min(1, STOP_FLOOR + STOP_BOOST * stop_ratio).
+STOP_FLOOR = 0.2
+STOP_BOOST = 4.0
+
+# --------------------------------------------------------------------------
+# Status banding (field_validator.py:100-108) — note the deliberate quirk:
+# confidence in the open interval (0.7, 0.8) maps to ABSENT, preserved from
+# the reference.  PRESENT additionally gets score = min(1, conf + 0.1)
+# in the reference; we keep raw scores and band separately.
+# --------------------------------------------------------------------------
+
+STATUS_PRESENT = "PRESENT"
+STATUS_PARTIAL = "PARTIALLY_PRESENT"
+STATUS_ABSENT = "ABSENT"
+
+PRESENT_MIN = 0.8    # score >= 0.8            -> PRESENT
+PARTIAL_MIN = 0.4    # 0.4 <= score <= 0.7     -> PARTIALLY_PRESENT
+PARTIAL_MAX = 0.7    # (0.7, 0.8)              -> ABSENT (reference quirk)
+
+# --------------------------------------------------------------------------
+# Keep/drop ("readiness") decision — gemini_qa.py:142-153, 657-663 analogue:
+# weighted quality above threshold, enough PRESENT fields, primary field
+# not absent, caption not a null sentinel.
+# --------------------------------------------------------------------------
+
+KEEP_QUALITY_MIN = 0.5
+KEEP_PRESENT_MIN = 2      # >= 2 of 5 rules PRESENT
+
+# --------------------------------------------------------------------------
+# Full-pipeline (non-SQL) thresholds: langid + perplexity gates.
+# --------------------------------------------------------------------------
+
+LANGS: tuple[str, ...] = ("en", "es", "de", "fr", "zh", "ar")
+LANG_CONF_MIN = 0.30      # langid confidence gate
+PPL_MAX = 1600.0          # char-LM perplexity gate (junk text scores high)
+
+# Truncation budget before expensive UDF stages
+# (text_processing.py:127-146: 2000 tokens ~ 8000 chars).
+TRUNCATE_CHARS = 8000

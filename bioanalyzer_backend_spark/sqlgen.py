@@ -1,0 +1,226 @@
+"""Dual-dialect SQL renderer for the quality-rule battery.
+
+The same logical expressions are rendered to BOTH
+  * Spark SQL (executed by Catalyst — the production path), and
+  * DuckDB SQL (the driver's correctness oracle),
+from the single rule spec in ``spec.py``.  This guarantees structural parity
+between the pipeline and its oracle: a rule change edits one constant and
+both sides move together.
+
+Dialect differences handled here:
+  * string-literal escaping: Spark SQL treats ``\\`` as an escape inside
+    literals (Hive-style), DuckDB does not -> regex literals double their
+    backslashes for Spark only;
+  * ``regexp_replace`` replaces all matches by default in Spark but needs
+    the ``'g'`` flag in DuckDB;
+  * array fns: ``size/filter/transform/array_distinct/array_contains``
+    (Spark) vs ``len/list_filter/list_transform/list_distinct/
+    list_contains`` (DuckDB);
+  * ``split`` (Spark) vs ``regexp_split_to_array`` (DuckDB);
+  * ``regexp_count`` (Spark) vs ``len(regexp_extract_all(...))`` (DuckDB).
+
+Everything else (CASE/LEAST/GREATEST/CAST/arithmetic) is common ANSI and
+rendered identically, so IEEE-754 double results match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from . import spec
+
+SPARK = "spark"
+DUCK = "duck"
+DIALECTS = (SPARK, DUCK)
+
+
+# --------------------------------------------------------------------------
+# dialect helpers
+# --------------------------------------------------------------------------
+
+def rlit(pattern: str, d: str) -> str:
+    """Render a regex as a SQL string literal for dialect *d*."""
+    if d == SPARK:
+        pattern = pattern.replace("\\", "\\\\")
+    if "'" in pattern:
+        raise ValueError("single quotes not allowed in patterns")
+    return f"'{pattern}'"
+
+
+def slit(s: str) -> str:
+    """Plain string literal (no backslashes allowed -> dialect-safe)."""
+    if "\\" in s or "'" in s:
+        raise ValueError("unsafe string literal")
+    return f"'{s}'"
+
+
+def rx_replace_all(col: str, pattern: str, repl: str, d: str) -> str:
+    if d == SPARK:
+        return f"regexp_replace({col}, {rlit(pattern, d)}, {slit(repl)})"
+    return f"regexp_replace({col}, {rlit(pattern, d)}, {slit(repl)}, 'g')"
+
+
+def rx_count(col: str, pattern: str, d: str) -> str:
+    if d == SPARK:
+        return f"regexp_count({col}, {rlit(pattern, d)})"
+    return f"len(regexp_extract_all({col}, {rlit(pattern, d)}))"
+
+
+def rx_split(col: str, pattern: str, d: str) -> str:
+    if d == SPARK:
+        return f"split({col}, {rlit(pattern, d)})"
+    return f"regexp_split_to_array({col}, {rlit(pattern, d)})"
+
+
+def arr_len(e: str, d: str) -> str:
+    return f"size({e})" if d == SPARK else f"len({e})"
+
+
+def arr_distinct(e: str, d: str) -> str:
+    return f"array_distinct({e})" if d == SPARK else f"list_distinct({e})"
+
+
+def arr_filter(e: str, lam: str, d: str) -> str:
+    return f"filter({e}, {lam})" if d == SPARK else f"list_filter({e}, {lam})"
+
+
+def arr_transform(e: str, lam: str, d: str) -> str:
+    return (f"transform({e}, {lam})" if d == SPARK
+            else f"list_transform({e}, {lam})")
+
+
+def arr_contains(arr: str, x: str, d: str) -> str:
+    return (f"array_contains({arr}, {x})" if d == SPARK
+            else f"list_contains({arr}, {x})")
+
+
+def str_array(items: tuple[str, ...], d: str) -> str:
+    body = ", ".join(slit(w) for w in items)
+    return f"array({body})" if d == SPARK else f"[{body}]"
+
+
+# --------------------------------------------------------------------------
+# shared fragments
+# --------------------------------------------------------------------------
+
+def tokens_expr(col: str, d: str) -> str:
+    """Lowered, whitespace-split, punct-trimmed, non-empty tokens."""
+    raw = rx_split(f"lower(trim({col}))", spec.TOKEN_SPLIT_RE, d)
+    trimmed = arr_transform(
+        raw, f"x -> {rx_replace_all('x', spec.TOKEN_TRIM_RE, '', d)}", d)
+    return arr_filter(trimmed, "x -> x != ''", d)
+
+
+def scrub_expr(col: str, d: str) -> str:
+    """The ordered PII/noise scrub chain (text_processing.py:110-125 style)."""
+    e = col
+    for pattern, repl in spec.SCRUB_CHAIN:
+        e = rx_replace_all(e, pattern, repl, d)
+    return f"trim({e})"
+
+
+def fmt(x: float) -> str:
+    """Render a float constant identically for both dialects."""
+    return repr(float(x))
+
+
+def _status_case(score: str) -> str:
+    return (f"CASE WHEN {score} >= {fmt(spec.PRESENT_MIN)} THEN "
+            f"{slit(spec.STATUS_PRESENT)} "
+            f"WHEN {score} >= {fmt(spec.PARTIAL_MIN)} AND {score} <= "
+            f"{fmt(spec.PARTIAL_MAX)} THEN {slit(spec.STATUS_PARTIAL)} "
+            f"ELSE {slit(spec.STATUS_ABSENT)} END")
+
+
+# --------------------------------------------------------------------------
+# the quality-core query (SQL-expressible slice of the pipeline)
+# --------------------------------------------------------------------------
+
+def quality_core_sql(d: str, table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Full rule battery -> scores, statuses, quality_score, keep.
+
+    Semantics (reference file:line cites in spec.py):
+      5 heuristic rules -> [0,1] scores -> 0.8/0.4 status bands (with the
+      (0.7,0.8)->ABSENT quirk) -> weighted rollup -> keep/drop.
+    """
+    toks = tokens_expr(text_col, d)
+    stop_arr = str_array(spec.ALL_STOPWORDS, d)
+    sentinels = ", ".join(
+        slit(s) for s in spec.NULL_SENTINELS if s != "")
+
+    w = spec.RULE_WEIGHTS
+    quality = (f"{fmt(w['len'])} * score_len + {fmt(w['word'])} * score_word"
+               f" + {fmt(w['rep'])} * score_rep"
+               f" + {fmt(w['alpha'])} * score_alpha"
+               f" + {fmt(w['stop'])} * score_stop")
+
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS row_id,
+         trim({text_col}) AS t,
+         {toks} AS toks
+  FROM {table}
+),
+cnt AS (
+  SELECT row_id, t,
+         length(t) AS n,
+         {arr_len('toks', d)} AS n_tok,
+         {arr_len(arr_distinct('toks', d), d)} AS n_utok,
+         {arr_len(arr_filter('toks', f'x -> {arr_contains(stop_arr, "x", d)}', d), d)} AS n_stop,
+         {rx_count('t', '[A-Za-z]', d)} AS n_alpha,
+         length({rx_replace_all('t', spec.TOKEN_SPLIT_RE, '', d)}) AS n_nonspace
+  FROM base
+),
+scores AS (
+  SELECT row_id, n,
+         CASE WHEN n = 0 THEN 0.0
+              WHEN n < {spec.LEN_FULL_LO} THEN (n / {fmt(spec.LEN_FULL_LO)}) * 0.5
+              WHEN n <= {spec.LEN_FULL_HI} THEN 1.0
+              ELSE GREATEST(0.0, 1.0 - (n - {spec.LEN_FULL_HI}) / {fmt(spec.LEN_DECAY)}) END AS score_len,
+         LEAST(1.0, n_tok / {fmt(spec.WORD_TOK_FULL)}) *
+           CASE WHEN n_tok > 0
+                 AND CAST(n_nonspace AS DOUBLE) / n_tok >= {fmt(spec.WORD_AVG_LEN_LO)}
+                 AND CAST(n_nonspace AS DOUBLE) / n_tok <= {fmt(spec.WORD_AVG_LEN_HI)}
+                THEN 1.0 ELSE {fmt(spec.WORD_AVG_LEN_PENALTY)} END AS score_word,
+         CASE WHEN n_tok = 0 THEN 0.0
+              WHEN n_tok < {spec.REP_MIN_TOKENS} THEN 1.0
+              ELSE LEAST(1.0, (CAST(n_utok AS DOUBLE) / n_tok) * {fmt(spec.REP_BOOST)}) END AS score_rep,
+         CASE WHEN n_nonspace = 0 THEN 0.0
+              ELSE LEAST(1.0, (CAST(n_alpha AS DOUBLE) / n_nonspace) * {fmt(spec.ALPHA_BOOST)}) END AS score_alpha,
+         CASE WHEN n_tok = 0 THEN 0.0
+              ELSE LEAST(1.0, {fmt(spec.STOP_FLOOR)} + {fmt(spec.STOP_BOOST)} * (CAST(n_stop AS DOUBLE) / n_tok)) END AS score_stop,
+         CASE WHEN lower(t) IN ({sentinels}) OR t = '' THEN TRUE ELSE FALSE END AS is_sentinel
+  FROM cnt
+)
+SELECT row_id,
+       CAST(n AS BIGINT) AS n_chars,
+       score_len, score_word, score_rep, score_alpha, score_stop,
+       {_status_case('score_len')} AS status_len,
+       {_status_case('score_word')} AS status_word,
+       {_status_case('score_rep')} AS status_rep,
+       {_status_case('score_alpha')} AS status_alpha,
+       {_status_case('score_stop')} AS status_stop,
+       {quality} AS quality_score,
+       CAST(CAST(score_len >= {fmt(spec.PRESENT_MIN)} AS INT)
+          + CAST(score_word >= {fmt(spec.PRESENT_MIN)} AS INT)
+          + CAST(score_rep >= {fmt(spec.PRESENT_MIN)} AS INT)
+          + CAST(score_alpha >= {fmt(spec.PRESENT_MIN)} AS INT)
+          + CAST(score_stop >= {fmt(spec.PRESENT_MIN)} AS INT) AS INT) AS n_present,
+       CASE WHEN ({quality}) >= {fmt(spec.KEEP_QUALITY_MIN)}
+             AND (CAST(score_len >= {fmt(spec.PRESENT_MIN)} AS INT)
+                + CAST(score_word >= {fmt(spec.PRESENT_MIN)} AS INT)
+                + CAST(score_rep >= {fmt(spec.PRESENT_MIN)} AS INT)
+                + CAST(score_alpha >= {fmt(spec.PRESENT_MIN)} AS INT)
+                + CAST(score_stop >= {fmt(spec.PRESENT_MIN)} AS INT)) >= {spec.KEEP_PRESENT_MIN}
+             AND NOT ({_status_case('score_len')} = {slit(spec.STATUS_ABSENT)})
+             AND NOT is_sentinel
+             AND n > 0
+            THEN TRUE ELSE FALSE END AS keep
+FROM scores
+"""
+
+
+def scrub_sql(d: str, table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    """PII/noise scrub projection (text_processing.py:110-125 analogue)."""
+    return (f"SELECT {id_col} AS row_id, {scrub_expr(text_col, d)} "
+            f"AS scrubbed FROM {table}")
