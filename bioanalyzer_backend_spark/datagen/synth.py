@@ -1,0 +1,215 @@
+"""Deterministic synthetic image+caption table generator (FIXTURES.md section 1).
+
+Produces the exact input shape from BASELINE.json input_hint:
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash long)
+plus a sidecar ``*_meta`` parquet with ground truth (true_lang, dup group)
+for tests — the pipeline itself never reads the sidecar.
+
+Everything flows from one seeded numpy Generator; same (n_rows, seed,
+dims) -> byte-identical parquet content. No wall-clock, no external data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import spec
+from ..functions.phash import average_hash
+from . import corpus
+from .imgcodec import encode_bmp, encode_ppm
+
+_SENTINEL_CHOICES = ("unknown", "n/a", "not specified", "none")
+
+
+def _make_pixels(rng: np.random.Generator, dims) -> np.ndarray:
+    w = int(dims[int(rng.integers(0, len(dims)))])
+    h = int(dims[int(rng.integers(0, len(dims)))])
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _encode(pixels: np.ndarray, fmt: str) -> bytes:
+    return encode_bmp(pixels) if fmt == "bmp" else encode_ppm(pixels)
+
+
+def _pick_lang(rng: np.random.Generator) -> str:
+    r = float(rng.random())
+    acc = 0.0
+    for lang, p in corpus.LANG_MIX:
+        acc += p
+        if r < acc:
+            return lang
+    return "en"
+
+
+def _base_caption(rng: np.random.Generator, lang: str) -> str:
+    u = float(rng.random())
+    if u < 0.08:                         # empty / whitespace-only
+        return ("", "   ", " \t ")[int(rng.integers(0, 3))]
+    if u < 0.09:                         # null sentinel
+        return _SENTINEL_CHOICES[int(rng.integers(0, len(_SENTINEL_CHOICES)))]
+    cap = corpus.sample_caption(rng, lang)
+    u2 = float(rng.random())
+    if u2 < 0.05:                        # PII injection
+        cap = cap + " " + corpus.PII_SNIPPETS[int(rng.integers(0, len(corpus.PII_SNIPPETS)))]
+    elif u2 < 0.08 and lang not in ("junk",):   # wrong-language mix
+        other = "es" if lang == "en" else "en"
+        extra = " ".join(
+            corpus.WORDS[other][int(i)]
+            for i in rng.integers(0, len(corpus.WORDS[other]), size=4))
+        cap = cap + " " + extra
+    return cap
+
+
+def _edge_rows(rng: np.random.Generator):
+    """FIXTURES.md section 6 — edge cases every fixture must include."""
+    px1 = rng.integers(0, 256, size=(1, 1, 3), dtype=np.uint8)
+    pxa = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    pxb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good_cap = ("a small group of people walking on the beach at sunset "
+                "with clouds in the sky and a dog by the water")
+    rows = [
+        ("", pxa, "bmp", None, "en"),
+        ("   \t  ", pxa, "bmp", None, "en"),
+        ("unknown", pxa, "bmp", None, "en"),
+        ("n/a", pxa, "ppm", None, "en"),
+        ("Not Specified", pxa, "bmp", None, "en"),
+        ("a group of friends \U0001F600\U0001F389 at the beach", pxa, "bmp", None, "en"),
+        (corpus.sample_caption(rng, "zh"), pxa, "bmp", None, "zh"),
+        (corpus.sample_caption(rng, "ar"), pxa, "ppm", None, "ar"),
+        ("café tables on the street with people and light", pxa, "bmp", None, "en"),
+        ("a" * 90, pxa, "bmp", None, "junk"),
+        (" ".join(["table"] * 40), pxa, "bmp", None, "junk"),
+        ("john.doe@example.com +1 (555) 123-4567 https://x.example.com/a?b=1 "
+         "and 123-45-6789 visible", pxa, "bmp", None, "en"),
+        # dup pair: both captions keep-worthy, same phash -> dedup must pick min id
+        (good_cap, pxb, "bmp", "edge_dup", "en"),
+        (good_cap + " second view", pxb, "bmp", "edge_dup", "en"),
+        ("one by one pixel image with a long enough caption to keep",
+         px1, "bmp", None, "en"),
+        # fmt mismatch: declared bmp, actual ppm payload -> decode ERROR row
+        ("declared format does not match payload bytes here",
+         pxa, "__mismatch__", None, "en"),
+    ]
+    return rows
+
+
+def generate(n_rows: int, seed: int = 42, dims=(16, 32, 64),
+             dup_frac: float = 0.04):
+    """Return (table_dict, meta_dict) of column arrays."""
+    rng = np.random.default_rng(seed)
+    edge = _edge_rows(rng)
+    n_edge = len(edge)
+    n_dup = max(2, int(n_rows * dup_frac)) if n_rows >= 100 else 2
+    n_base = max(1, n_rows - n_dup - n_edge)
+
+    caps: list[str] = []
+    pixel_list: list[np.ndarray] = []
+    fmts: list[str] = []
+    langs: list[str] = []
+    groups: list[str] = []           # dup-group key ("" = unique)
+
+    for i in range(n_base):
+        lang = _pick_lang(rng)
+        caps.append(_base_caption(rng, lang))
+        pixel_list.append(_make_pixels(rng, dims))
+        fmts.append("bmp" if rng.random() < 0.8 else "ppm")
+        langs.append(lang)
+        groups.append("")
+
+    # --- duplicate clusters (share pixels modulo noise => same phash) ---
+    # one hot cluster on 'en' (skew driver) + small clusters of 2-8
+    hot_size = max(2, n_dup // 3)
+    sizes = [hot_size]
+    left = n_dup - hot_size
+    while left > 0:
+        s = int(min(left, rng.integers(2, 9)))
+        if left - s == 1:
+            s += 1
+        sizes.append(s)
+        left -= s
+    for ci, size in enumerate(sizes):
+        bi = int(rng.integers(0, n_base))
+        gkey = f"dup{ci}"
+        groups[bi] = gkey
+        for _ in range(size - 1):
+            noise = rng.integers(-2, 3, size=pixel_list[bi].shape).astype(np.int16)
+            px = np.clip(pixel_list[bi].astype(np.int16) + noise, 0, 255).astype(np.uint8)
+            caps.append(caps[bi] if rng.random() < 0.5
+                        else caps[bi] + " alt view")
+            pixel_list.append(px)
+            fmts.append(fmts[bi])
+            langs.append(langs[bi])
+            groups.append(gkey)
+
+    for cap, px, fmt, grp, lang in edge:
+        caps.append(cap)
+        pixel_list.append(px)
+        fmts.append(fmt)
+        langs.append(lang)
+        groups.append(grp or "")
+
+    n = len(caps)
+    order = rng.permutation(n)
+
+    image_id, data, ws, hs, out_fmt, out_cap, out_ph = [], [], [], [], [], [], []
+    out_lang, out_grp = [], []
+    # phash shared within a dup group: hash of the group's FIRST pixels
+    group_phash: dict[str, int] = {}
+    for new_idx, old in enumerate(order):
+        old = int(old)
+        px = pixel_list[old]
+        fmt = fmts[old]
+        grp = groups[old]
+        if grp:
+            ph = group_phash.setdefault(grp, average_hash(px))
+        else:
+            ph = average_hash(px)
+        if fmt == "__mismatch__":
+            blob, fmt = encode_ppm(px), "bmp"      # declared bmp, actual ppm
+        else:
+            blob = _encode(px, fmt)
+        image_id.append(f"img{new_idx:012d}")
+        data.append(blob)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        out_fmt.append(fmt)
+        out_cap.append(caps[old])
+        out_ph.append(ph)
+        out_lang.append(langs[old])
+        out_grp.append(grp)
+
+    table = {
+        "image_id": image_id, "bytes": data,
+        "w": np.array(ws, dtype=np.int32), "h": np.array(hs, dtype=np.int32),
+        "fmt": out_fmt, "caption": out_cap,
+        "phash": np.array(out_ph, dtype=np.int64),
+    }
+    meta = {"image_id": image_id, "true_lang": out_lang, "dup_group": out_grp}
+    return table, meta
+
+
+IMAGES_SCHEMA = pa.schema([
+    ("image_id", pa.string()), ("bytes", pa.binary()),
+    ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+    ("caption", pa.string()), ("phash", pa.int64()),
+])
+
+
+def write_images_parquet(out_dir: str, n_rows: int, seed: int = 42,
+                         dims=(16, 32, 64), force: bool = False) -> str:
+    """Generate-once cache: artifacts/images_n{n}_s{seed}.parquet (+_meta)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"images_n{n_rows}_s{seed}.parquet")
+    meta_path = path.replace(".parquet", "_meta.parquet")
+    if os.path.exists(path) and os.path.exists(meta_path) and not force:
+        return path
+    table, meta = generate(n_rows, seed=seed, dims=dims)
+    pq.write_table(pa.table(table, schema=IMAGES_SCHEMA), path,
+                   row_group_size=8192)
+    pq.write_table(pa.table(meta), meta_path)
+    return path

@@ -1,0 +1,175 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over the image+caption table (and any text table):
+
+  * exact      — hash-groupBy on a key (phash / content fingerprint);
+  * MinHash+LSH— shingle -> minhash -> band -> bucket-join candidates;
+  * SimHash    — 64-bit near-dup signature, Hamming-bucket candidates;
+  * n-gram Jaccard — verified similarity on candidate pairs.
+
+All are DataFrame-native where possible; SimHash uses one Arrow-batched
+pandas UDF (variable-length token sets don't vectorize as Columns).
+Shuffle hygiene: every operator shuffles only (id, key/signature)
+projections, never the binary ``bytes`` column; callers re-attach flags by
+id (broadcast-able) — see plans/pipeline.apply_dedup_flag.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+
+
+def exact_dedup(df: DataFrame, key: str = "phash",
+                id_col: str = "image_id") -> DataFrame:
+    """Keep only canonical rows (min id per key group) — A7 semantics."""
+    w = Window.partitionBy(key).orderBy(id_col)
+    slim = (df.select(id_col, key)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col))
+    return df.join(slim, id_col, "left_semi")
+
+
+def _tokens_col(text_col: str):
+    return F.expr(sqlgen.tokens_expr(text_col, sqlgen.SPARK))
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str,
+             n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-gram shingles."""
+    toks = df.select(F.col(id_col).alias("_id"),
+                     _tokens_col(text_col).alias("toks"))
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    sh = toks.selectExpr(
+        "_id",
+        f"array_distinct(transform({sqlgen.int_seq('1', f'size(toks) - {n-1}', sqlgen.SPARK)}, "
+        f"i -> concat_ws(' ', {parts}))) AS sh")
+    return sh.select("_id", F.explode("sh").alias("shingle"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
+                           id_col: str = "image_id",
+                           n_bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
+
+    Deterministic hash family: md5(band || '|' || shingle); the band
+    signature is the min digest per (id, band). Bucket-join on equal
+    (band, signature) yields candidates — the classic shingle->minhash->
+    band->bucket-join pipeline, all shuffles on short strings.
+    """
+    sh = shingles(df, text_col, id_col)
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    sig = (sh.select("_id", "shingle", bands)
+           .withColumn("mh", F.md5(F.concat_ws("|", F.col("band").cast("string"),
+                                               F.col("shingle"))))
+           .groupBy("_id", "band").agg(F.min("mh").alias("sig")))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "caption",
+                   id_col: str = "image_id",
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (verification stage)."""
+    sh = shingles(df, text_col, id_col)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("x")
+             .join(pairs, F.col("x._id") == F.col("id_a"))
+             .join(sh.alias("y"),
+                   (F.col("y._id") == F.col("id_b"))
+                   & (F.col("x.shingle") == F.col("y.shingle")))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("_id", "id_a")
+                 .withColumnRenamed("n_sh", "na"), "id_a")
+           .join(sizes.withColumnRenamed("_id", "id_b")
+                 .withColumnRenamed("n_sh", "nb"), "id_b")
+           .withColumn("jaccard",
+                       F.col("inter").cast("double")
+                       / (F.col("na") + F.col("nb") - F.col("inter"))))
+    return out.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_MULT = np.uint64(1099511628211)       # FNV-ish, deterministic
+_OFFS = np.uint64(14695981039346656037)
+
+
+def _token_hash64(tok: str) -> np.uint64:
+    h = _OFFS
+    for byte in tok.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * int(_MULT) % (1 << 64))
+    return h
+
+
+def simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text (token-level, FNV-1a token hashes)."""
+    from ..rules.reference_impl import tokenize
+    out = np.zeros(len(texts), dtype=np.int64)
+    bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for i, t in enumerate(texts.fillna("")):
+        toks = tokenize(t)
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.array([_token_hash64(tok) for tok in set(toks)],
+                      dtype=np.uint64)
+        bits = ((hs[:, None] & bit_cols[None, :]) != 0)
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        sig = np.uint64(0)
+        for bit in np.nonzero(votes > 0)[0]:
+            sig |= bit_cols[bit]
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "caption") -> DataFrame:
+    @F.pandas_udf("long")
+    def _udf(s: pd.Series) -> pd.Series:
+        return simhash_batch(s)
+    return df.withColumn("simhash", _udf(F.col(text_col)))
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "caption",
+                       id_col: str = "image_id",
+                       n_blocks: int = 4) -> DataFrame:
+    """Hamming-near pairs via block permutation: signatures agreeing on any
+    16-bit block are candidates (finds all pairs within Hamming radius
+    n_blocks-1 by pigeonhole)."""
+    sig = with_simhash(df.select(id_col, text_col), text_col) \
+        .select(F.col(id_col).alias("_id"), "simhash")
+    blocks = []
+    for bi in range(n_blocks):
+        blocks.append(sig.select(
+            "_id", F.lit(bi).alias("block"),
+            F.shiftrightunsigned(F.col("simhash"), bi * 16)
+            .bitwiseAND(F.lit(0xFFFF)).alias("key"), "simhash"))
+    allb = blocks[0]
+    for b in blocks[1:]:
+        allb = allb.unionByName(b)
+    a, b = allb.alias("a"), allb.alias("b")
+    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct())

@@ -1,0 +1,125 @@
+"""Multimodal column operators: images as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, Arrow batch shape, mapInPandas
+signatures, error-row materialization) is real and tested; the pixel
+codecs are the repo's own pure-numpy BMP/PPM (datagen/imgcodec.py) since
+no imaging libs exist in the sandbox. Formats beyond bmp/ppm and the
+audio/video extractors are explicit stubs (NotImplementedError) with the
+production schema already wired.
+
+Error semantics follow the reference's error-row materialization
+(app/services/data_retrieval.py:395-408): a row that fails to decode
+becomes (ok=false, err=...) and the pipeline continues.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..datagen import imgcodec
+
+IMAGE_STATS_SCHEMA = ("image_id string, ok boolean, err string, "
+                      "mean_r double, mean_g double, mean_b double, "
+                      "decoded_w int, decoded_h int")
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """Decode + per-channel stats; fmt-mismatch rows become error rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "ok", "err", "mean_r",
+                                   "mean_g", "mean_b", "decoded_w",
+                                   "decoded_h")}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                out["image_id"].append(iid)
+                try:
+                    px = imgcodec.decode(bytes(blob), fmt)
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    out["ok"].append(True)
+                    out["err"].append(None)
+                    out["mean_r"].append(float(m[0]))
+                    out["mean_g"].append(float(m[1]))
+                    out["mean_b"].append(float(m[2]))
+                    out["decoded_h"].append(px.shape[0])
+                    out["decoded_w"].append(px.shape[1])
+                except Exception as e:  # error-row materialization (F6)
+                    out["ok"].append(False)
+                    out["err"].append(f"{type(e).__name__}: {e}")
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    out["decoded_w"].append(None)
+                    out["decoded_h"].append(None)
+            yield pd.DataFrame(out)
+
+    return (df.select("image_id", "bytes", "fmt")
+            .mapInPandas(gen, schema=IMAGE_STATS_SCHEMA))
+
+
+def _block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w, _ = px.shape
+    yi = (np.arange(out_h) * h // out_h)
+    xi = (np.arange(out_w) * w // out_w)
+    return px[yi][:, xi]
+
+
+RESIZED_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Thumbnail pass: decode -> nearest-index downsample -> re-encode BMP.
+    Failed decodes are dropped (they surface via image_stats)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt")}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                try:
+                    px = imgcodec.decode(bytes(blob), fmt)
+                except Exception:
+                    continue
+                small = _block_mean_resize(px, out_h, out_w)
+                rows["image_id"].append(iid)
+                rows["bytes"].append(imgcodec.encode_bmp(small))
+                rows["w"].append(out_w)
+                rows["h"].append(out_h)
+                rows["fmt"].append("bmp")
+            yield pd.DataFrame(rows)
+
+    return (df.select("image_id", "bytes", "fmt")
+            .mapInPandas(gen, schema=RESIZED_SCHEMA))
+
+
+# --------------------------------------------------------------------------
+# stubs — schema-complete, deliberately unimplemented in this sandbox
+# --------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = ("clip_id string, ok boolean, err string, "
+                         "duration_s double, sample_rate int, rms double")
+
+VIDEO_FRAMES_SCHEMA = ("video_id string, frame_idx int, ts_s double, "
+                       "bytes binary, w int, h int, fmt string")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """STUB: no audio codec in this container. Production shape: mapInPandas
+    over (clip_id, bytes, fmt) -> AUDIO_FEATURES_SCHEMA."""
+    raise NotImplementedError(
+        "audio decode needs a codec lib not present in this sandbox; "
+        "wire a decoder into a mapInPandas generator with "
+        f"schema={AUDIO_FEATURES_SCHEMA!r}")
+
+
+def video_frame_sample(df: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """STUB: no video codec in this container. Production shape: mapInPandas
+    over (video_id, bytes, fmt) -> one row per sampled frame."""
+    raise NotImplementedError(
+        "video decode needs a codec lib not present in this sandbox; "
+        "wire a decoder into a mapInPandas generator with "
+        f"schema={VIDEO_FRAMES_SCHEMA!r}")

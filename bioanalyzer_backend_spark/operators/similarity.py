@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k, fully native (zip_with + aggregate —
+JVM-side, whole-stage codegen). Scale path: sign-LSH bucketing — a fixed
+seeded hyperplane matrix hashes every vector to a bit signature inside one
+Arrow-batched matmul; the query probes only buckets within a Hamming
+radius, cutting candidates by ~2^planes/sum(C(planes,<=r)) before the
+exact re-rank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def cosine_topk(df: DataFrame, query_vec, k: int = 10,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Brute-force cosine top-k vs one query vector. Native expressions;
+    the top-k is a TakeOrderedAndProject (no full sort/shuffle)."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(np.dot(q, q)))
+    qlit = "array(" + ", ".join(f"CAST({x!r} AS FLOAT)" for x in q) + ")"
+    scored = df.selectExpr(
+        id_col,
+        f"{_dot_expr(vec_col, qlit)} AS dp",
+        f"{_dot_expr(vec_col, vec_col)} AS nn",
+    ).selectExpr(id_col, f"dp / (SQRT(nn) * CAST({qn!r} AS DOUBLE)) AS cos_sim")
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def _planes(dim: int, n_planes: int, seed: int = 97) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
+                    vec_col: str = "embedding", seed: int = 97) -> DataFrame:
+    """Append an int bucket = sign-bit signature of seeded hyperplanes.
+    One matmul per Arrow batch."""
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if mat.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        bits = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
+
+
+def lsh_cosine_topk(df: DataFrame, query_vec, k: int = 10,
+                    n_planes: int = 16, hamming_radius: int = 2,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 97) -> DataFrame:
+    """LSH-pruned cosine top-k: probe buckets within a Hamming radius of
+    the query signature, exact cosine only on survivors."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    planes = _planes(len(q), n_planes, seed)
+    qbits = int(((q @ planes) > 0).astype(np.int64)
+                @ (1 << np.arange(n_planes)))
+    bucketed = with_lsh_bucket(df, len(q), n_planes, vec_col, seed)
+    xor = F.col("lsh_bucket").bitwiseXOR(F.lit(qbits))
+    hamming = F.bit_count(xor)
+    cand = bucketed.where(hamming <= F.lit(hamming_radius))
+    return cosine_topk(cand, q.tolist(), k, vec_col, id_col)
+
+
+def embedding_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                            n_planes: int = 12, vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup: same-bucket candidate pairs -> exact
+    cosine >= threshold. Bucket join keeps the pair space tractable."""
+    b = with_lsh_bucket(df, dim, n_planes, vec_col)
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (a.join(c, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col(f"a.{vec_col}").alias("va"),
+                     F.col(f"b.{vec_col}").alias("vb")))
+    scored = pairs.selectExpr(
+        "id_a", "id_b",
+        f"{_dot_expr('va', 'vb')} / (SQRT({_dot_expr('va', 'va')}) * "
+        f"SQRT({_dot_expr('vb', 'vb')})) AS cos_sim")
+    return scored.where(F.col("cos_sim") >= threshold)

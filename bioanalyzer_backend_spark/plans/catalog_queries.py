@@ -1,0 +1,422 @@
+"""Query catalog: every SURVEY.md section-2 operator as a (Spark, DuckDB) pair.
+
+Each SQL-expressible entry is ONE builder rendered to both dialects by
+sqlgen, so the Spark plan and its DuckDB oracle cannot drift. Entries whose
+semantics need model artifacts (langid, perplexity) or binary columns
+(phash dedup on images) are Spark-only callables (driver rows-only check);
+their correctness gate is the numpy oracle in tests/.
+
+Registry contract (consumed by __spark_entry__):
+    REGISTRY[name] = (spark_fn(spark, sf_dir) -> DataFrame, duck_sql | None)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import spec, sqlgen
+from ..session import register_testdata_views
+from ..sqlgen import DUCK, SPARK
+
+# --------------------------------------------------------------------------
+# builders (dialect -> SQL). Reference operator ids from SURVEY.md section 2.
+# --------------------------------------------------------------------------
+
+def _q_core(d: str) -> str:
+    """P1-P8 + R1-R16 rule battery + A2/A4 rollup + R10 keep (the heart)."""
+    return sqlgen.quality_core_sql(d)
+
+
+def _q_scrub(d: str) -> str:
+    """R9/P1: PII + citation/figure scrub chain."""
+    return sqlgen.scrub_sql(d)
+
+
+def _q_keep_by_lang(d: str) -> str:
+    """A8-style rollup: keep-rate per language (audit-table query)."""
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)})
+SELECT dd.lang AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(q.keep AS INT)) AS BIGINT) AS n_keep,
+       CAST(SUM(CAST(q.n_present AS INT)) AS BIGINT) AS sum_present
+FROM q JOIN documents dd ON q.row_id = dd.doc_id
+GROUP BY dd.lang
+"""
+
+
+def _q_tok_stats(d: str) -> str:
+    """R15 analogue: token counting (whitespace + punct-trim) per doc."""
+    toks = sqlgen.tokens_expr("text", d)
+    stop_arr = sqlgen.str_array(spec.ALL_STOPWORDS, d)
+    return f"""
+WITH b AS (SELECT doc_id AS row_id, {toks} AS toks FROM documents)
+SELECT row_id,
+       CAST({sqlgen.arr_len('toks', d)} AS BIGINT) AS n_tok,
+       CAST({sqlgen.arr_len(sqlgen.arr_distinct('toks', d), d)} AS BIGINT) AS n_utok,
+       CAST({sqlgen.arr_len(sqlgen.arr_filter('toks', f'x -> {sqlgen.arr_contains(stop_arr, "x", d)}', d), d)} AS BIGINT) AS n_stop
+FROM b
+"""
+
+
+def _q_fingerprint(d: str) -> str:
+    """Document fingerprinting: md5 over normalized token stream."""
+    toks = sqlgen.tokens_expr("text", d)
+    return (f"SELECT doc_id AS row_id, "
+            f"md5({sqlgen.arr_join(toks, ' ', d)}) AS fp FROM documents")
+
+
+def _q_dedup_exact(d: str) -> str:
+    """Exact dedup via content hash; canonical = min id (A7 semantics)."""
+    toks = sqlgen.tokens_expr("text", d)
+    return f"""
+WITH f AS (SELECT doc_id AS row_id,
+                  md5({sqlgen.arr_join(toks, ' ', d)}) AS fp
+           FROM documents)
+SELECT row_id, fp,
+       CASE WHEN row_id = MIN(row_id) OVER (PARTITION BY fp)
+            THEN FALSE ELSE TRUE END AS is_dup
+FROM f
+"""
+
+
+_MARKER_LANGS = ("en", "es", "de", "fr")
+
+
+def _q_langid_marker(d: str) -> str:
+    """R4/F4 analogue: marker-word language guess (SQL-expressible twin of
+    the hashed-n-gram langid UDF; first-match-wins tie-break like
+    fallback_extractor.py:58-61)."""
+    toks = sqlgen.tokens_expr("text", d)
+    hits = []
+    for lang in _MARKER_LANGS:
+        arr = sqlgen.str_array(spec.STOPWORDS[lang], d)
+        flt = sqlgen.arr_filter("toks", f"x -> {sqlgen.arr_contains(arr, 'x', d)}", d)
+        hits.append(f"CAST({sqlgen.arr_len(flt, d)} AS BIGINT) AS n_{lang}")
+    guess = """CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+       WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+       WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+       WHEN n_fr > 0 THEN 'fr'
+       ELSE 'und' END"""
+    return f"""
+WITH b AS (SELECT doc_id AS row_id, {toks} AS toks FROM documents),
+h AS (SELECT row_id, {', '.join(hits)} FROM b)
+SELECT row_id, n_en, n_es, n_de, n_fr, {guess} AS lang_guess FROM h
+"""
+
+
+def _shingles(d: str, text_col: str = "text") -> str:
+    """Word 3-gram shingles of the token stream."""
+    toks = sqlgen.tokens_expr(text_col, d)
+    n = sqlgen.arr_len("toks", d)
+    seq = sqlgen.int_seq("1", f"{n} - 2", d)
+    mk = (f"i -> concat_ws(' ', {sqlgen.arr_get('toks', 'i', d)}, "
+          f"{sqlgen.arr_get('toks', 'i + 1', d)}, "
+          f"{sqlgen.arr_get('toks', 'i + 2', d)})")
+    return (f"SELECT doc_id AS row_id, toks, "
+            f"{sqlgen.arr_distinct(sqlgen.arr_transform(seq, mk, d), d)} AS sh "
+            f"FROM (SELECT doc_id, {toks} AS toks FROM documents)")
+
+
+def _q_ngram_jaccard(d: str) -> str:
+    """Near-dup detection: 3-gram shingle Jaccard, top-20 pairs."""
+    return f"""
+WITH s AS ({_shingles(d)}),
+e AS (SELECT row_id, {sqlgen.explode_col('sh', 'g', d)} FROM s),
+sz AS (SELECT row_id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY row_id),
+inter AS (
+  SELECT a.row_id AS ra, b.row_id AS rb, CAST(COUNT(*) AS BIGINT) AS i
+  FROM e a JOIN e b ON a.g = b.g AND a.row_id < b.row_id
+  GROUP BY a.row_id, b.row_id
+)
+SELECT ra, rb,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sz sa ON sa.row_id = ra JOIN sz sb ON sb.row_id = rb
+ORDER BY CAST(i AS DOUBLE) / (sa.n + sb.n - i) DESC, ra, rb
+LIMIT 20
+"""
+
+
+def _q_minhash_bands(d: str) -> str:
+    """MinHash-LSH candidate pairs: 4 bands, band-min over md5(band|shingle).
+    (shingle -> minhash -> band -> bucket-join; deterministic via md5.)"""
+    band_rows = " UNION ALL ".join(
+        f"SELECT row_id, {b} AS band, g FROM e" for b in range(4))
+    return f"""
+WITH s AS ({_shingles(d)}),
+e AS (SELECT row_id, {sqlgen.explode_col('sh', 'g', d)} FROM s),
+bands AS ({band_rows}),
+sig AS (
+  SELECT row_id, band,
+         MIN(md5({sqlgen.int_str('band', d)} || '|' || g)) AS mh
+  FROM bands GROUP BY row_id, band
+)
+SELECT DISTINCT a.row_id AS ra, b.row_id AS rb
+FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.row_id < b.row_id
+"""
+
+
+def _q_events_ttl(d: str) -> str:
+    """S6/F3 TTL-validity analogue (cache_manager.py:296-307): rows within
+    24h of the latest timestamp, per type."""
+    return """
+WITH m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events, m
+WHERE ts > mx - INTERVAL 24 HOURS
+GROUP BY event_type
+"""
+
+
+def _q_events_summary(d: str) -> str:
+    """A9: batch summary stats (count/min/max/sum) per event type."""
+    return """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+FROM events GROUP BY event_type
+"""
+
+
+def _q_lineitem_rollup(d: str) -> str:
+    """A2-style weighted rollup at TPC-H Q1 shape (decimal-exact sums)."""
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_join_nation(d: str) -> str:
+    """J1/J4: keyed equi-joins (orders->customer->nation), small-dim side."""
+    return """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def _q_antijoin_resume(d: str) -> str:
+    """S6/F3 resume semantics: anti-join of ids vs 'done' set."""
+    return """
+SELECT c.c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 150000)
+"""
+
+
+def _q_topk_orders(d: str) -> str:
+    """T1/T3: global top-k with deterministic tie-break."""
+    return """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q_window_top3(d: str) -> str:
+    """T2: per-key top-3 via row_number."""
+    return """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders WHERE o_custkey <= 100)
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3
+"""
+
+
+def _q_union_distinct(d: str) -> str:
+    """U1: UNION-dedup across sources."""
+    return """
+SELECT o_custkey AS k FROM orders
+UNION
+SELECT c_custkey AS k FROM customer
+"""
+
+
+def _q_slice_tokens(d: str) -> str:
+    """T4: author-list style truncation (first 3 tokens)."""
+    toks = sqlgen.tokens_expr("text", d)
+    return (f"SELECT doc_id AS row_id, "
+            f"{sqlgen.arr_join(sqlgen.arr_slice('toks', 1, 3, d), ' ', d)} AS head3 "
+            f"FROM (SELECT doc_id, {toks} AS toks FROM documents)")
+
+
+def _q_coalesce_priority(d: str) -> str:
+    """P8: abstract-priority coalesce (append tail only when short)."""
+    return """
+SELECT doc_id AS row_id,
+       md5(CASE WHEN length(text) < 200
+                THEN text || ' ' || substring(text, 1, 100)
+                ELSE text END) AS fp
+FROM documents
+"""
+
+
+def _q_extract_props(d: str) -> str:
+    """R5/R13: regex numeric extraction from a JSON-ish payload."""
+    ext = sqlgen.rx_extract("props", '"k": ([0-9]+)', 1, d)
+    return (f"SELECT event_id, CAST({ext} AS INT) AS k FROM events")
+
+
+def _q_pattern_extract_all(d: str) -> str:
+    """R8: extract-all + distinct count (taxa-extraction shape)."""
+    matches = sqlgen.rx_extract_all_full("text", "(scan|sort|merge) [a-z]+", d)
+    return (f"SELECT doc_id AS row_id, "
+            f"CAST({sqlgen.arr_len(sqlgen.arr_distinct(matches, d), d)} AS BIGINT) "
+            f"AS n_patterns FROM documents")
+
+
+def _q_nonempty_filter(d: str) -> str:
+    """P3/P5/P6: empty-content + null-sentinel filter."""
+    sentinels = ", ".join(sqlgen.slit(s) for s in spec.NULL_SENTINELS if s)
+    return (f"SELECT doc_id FROM documents "
+            f"WHERE length(trim(text)) > 0 "
+            f"AND lower(trim(text)) NOT IN ({sentinels})")
+
+
+def _dot(a: str, b: str, d: str) -> str:
+    """Deterministic left-to-right double dot product of float arrays."""
+    if d == SPARK:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    return (f"list_sum(list_transform(range(1, CAST(len({a}) AS BIGINT) + 1), "
+            f"i -> CAST(list_extract({a}, i) AS DOUBLE) * "
+            f"CAST(list_extract({b}, i) AS DOUBLE)))")
+
+
+def _q_cosine_topk(d: str) -> str:
+    """Similarity search: brute-force cosine top-10 vs anchor vec_id=0."""
+    dot_ab = _dot("a.embedding", "q.qe", d)
+    dot_aa = _dot("a.embedding", "a.embedding", d)
+    dot_qq = _dot("q.qe", "q.qe", d)
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT a.vec_id,
+             {dot_ab} AS dp, {dot_aa} AS na, {dot_qq} AS nq
+      FROM embeddings a, q WHERE a.vec_id != 0)
+SELECT vec_id, ROUND(dp / (SQRT(na) * SQRT(nq)), 5) AS cos_sim
+FROM s ORDER BY ROUND(dp / (SQRT(na) * SQRT(nq)), 5) DESC, vec_id LIMIT 10
+"""
+
+
+def _q_groupmin_lineitem(d: str) -> str:
+    """A7 keyed first-occurrence: min line number per order."""
+    return ("SELECT l_orderkey, CAST(MIN(l_linenumber) AS INT) AS first_line "
+            "FROM lineitem GROUP BY l_orderkey")
+
+
+def _q_error_rows(d: str) -> str:
+    """F6: error-row materialization — errors flow as data."""
+    return ("SELECT event_id, event_type, value FROM events "
+            "WHERE event_type = 'error'")
+
+
+_SQL_BUILDERS: dict[str, Callable[[str], str]] = {
+    "qf_core_documents": _q_core,
+    "qf_scrub_documents": _q_scrub,
+    "qf_keep_by_lang": _q_keep_by_lang,
+    "tok_stats_documents": _q_tok_stats,
+    "fingerprint_documents": _q_fingerprint,
+    "dedup_exact_documents": _q_dedup_exact,
+    "langid_marker_documents": _q_langid_marker,
+    "ngram_jaccard_top20": _q_ngram_jaccard,
+    "minhash_lsh_pairs": _q_minhash_bands,
+    "events_ttl_recent": _q_events_ttl,
+    "events_summary": _q_events_summary,
+    "lineitem_rollup": _q_lineitem_rollup,
+    "join_orders_nation": _q_join_nation,
+    "antijoin_resume": _q_antijoin_resume,
+    "topk_orders": _q_topk_orders,
+    "window_top3_per_cust": _q_window_top3,
+    "union_distinct_keys": _q_union_distinct,
+    "slice_first3_tokens": _q_slice_tokens,
+    "coalesce_priority": _q_coalesce_priority,
+    "extract_props_k": _q_extract_props,
+    "pattern_extract_all": _q_pattern_extract_all,
+    "nonempty_filter": _q_nonempty_filter,
+    "cosine_top10": _q_cosine_topk,
+    "groupmin_lineitem": _q_groupmin_lineitem,
+    "error_rows_events": _q_error_rows,
+}
+
+
+# --------------------------------------------------------------------------
+# Spark-only (UDF / binary-column) queries — rows-only driver check;
+# real correctness gate = numpy oracle in tests/.
+# --------------------------------------------------------------------------
+
+_SYNTH_ROWS = 2000
+
+
+def _synth_df(spark: SparkSession):
+    import pandas as pd
+
+    from ..datagen import synth
+    table, _ = synth.generate(_SYNTH_ROWS, seed=42)
+    pdf = pd.DataFrame(table)
+    return spark.createDataFrame(pdf, schema=(
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"))
+
+
+def _q_full_pipeline_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full quality-filter over the synthetic image+caption table
+    (langid UDF + perplexity UDF + core rules + scrub + phash dedup)."""
+    from . import pipeline as P
+    P.ensure_artifacts()
+    df = _synth_df(spark)
+    out = P.quality_filter(df)
+    return out.select("image_id", "lang", "lang_conf", "ppl",
+                      "quality_score", "n_present", "keep_core", "keep",
+                      "is_dup", "scrubbed_caption")
+
+
+def _q_langid_udf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import pipeline as P
+    P.ensure_artifacts()
+    register_testdata_views(spark, sf_dir)
+    df = spark.table("documents")
+    out = P.apply_langid_ppl(df, text_col="text")
+    return out.select("doc_id", "lang", "lang_conf", "ppl")
+
+
+_SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "qf_full_images": _q_full_pipeline_images,
+    "langid_udf_documents": _q_langid_udf_documents,
+}
+
+
+# --------------------------------------------------------------------------
+# public registry
+# --------------------------------------------------------------------------
+
+def _mk_spark_fn(builder: Callable[[str], str]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_testdata_views(spark, sf_dir)
+        return spark.sql(builder(SPARK))
+    return fn
+
+
+def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    reg: dict[str, tuple] = {}
+    for name, builder in _SQL_BUILDERS.items():
+        reg[name] = (_mk_spark_fn(builder), builder(DUCK))
+    for name, fn in _SPARK_ONLY.items():
+        reg[name] = (fn, None)
+    return reg

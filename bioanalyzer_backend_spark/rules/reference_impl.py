@@ -1,0 +1,168 @@
+"""Pure numpy/pandas twin of the quality-rule battery — the oracle.
+
+This is the "reference labels" generator of the north rule: the Spark
+pipeline's keep/drop must match this implementation at F1 >= 0.99
+(in practice: exactly), and scrubbed captions must be string-equal.
+
+Semantics are defined by spec.py and mirror the reference engine:
+  * per-category scoring        -> methods_scorer.py:114-127
+  * weighted rollup             -> methods_scorer.py:77-92
+  * status bands (+ quirk)      -> field_validator.py:100-108
+  * null sentinels              -> field_validator.py:92-95
+  * readiness keep/drop         -> gemini_qa.py:142-153, 657-663
+  * scrub chain                 -> text_processing.py:110-125
+
+Float parity notes: every arithmetic expression is written with the SAME
+shape and association order as the SQL rendered by sqlgen.py, so IEEE-754
+doubles agree bit-for-bit. String parity notes: SQL trim() strips ASCII
+spaces ONLY (not tabs) in both Spark and DuckDB — mirrored here with
+str.strip(' ').
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from .. import spec
+
+_SPLIT = re.compile(spec.TOKEN_SPLIT_RE)
+_TOKTRIM = re.compile(spec.TOKEN_TRIM_RE)
+_WS_ALL = re.compile(spec.TOKEN_SPLIT_RE)
+_ALPHA = re.compile(r"[A-Za-z]")
+_SCRUB = [(re.compile(p), r) for p, r in spec.SCRUB_CHAIN]
+_STOPSET = frozenset(spec.ALL_STOPWORDS)
+_SENTINELS = frozenset(s for s in spec.NULL_SENTINELS)
+
+
+def sql_trim(s: str) -> str:
+    """ANSI trim: leading/trailing SPACE characters only."""
+    return s.strip(" ")
+
+
+def tokenize(text: str) -> list[str]:
+    """lower(trim) -> ws-split -> punct-trim -> drop empties (sqlgen parity)."""
+    t = sql_trim(text).lower()
+    toks = _SPLIT.split(t)
+    out = []
+    for tok in toks:
+        tok = _TOKTRIM.sub("", tok)
+        if tok:
+            out.append(tok)
+    return out
+
+
+def scrub(text: str) -> str:
+    """Ordered PII/noise scrub chain; trim at the end (sqlgen.scrub_expr)."""
+    e = text
+    for pat, repl in _SCRUB:
+        e = pat.sub(repl, e)
+    return sql_trim(e)
+
+
+def rule_features(captions: pd.Series) -> pd.DataFrame:
+    """Full rule battery -> one row per caption.
+
+    Columns match sqlgen.quality_core_sql output (minus row_id):
+    n_chars, score_*, status_*, quality_score, n_present, keep.
+    """
+    n_rows = len(captions)
+    n = np.zeros(n_rows, dtype=np.int64)
+    n_tok = np.zeros(n_rows, dtype=np.int64)
+    n_utok = np.zeros(n_rows, dtype=np.int64)
+    n_stop = np.zeros(n_rows, dtype=np.int64)
+    n_alpha = np.zeros(n_rows, dtype=np.int64)
+    n_nonspace = np.zeros(n_rows, dtype=np.int64)
+    is_sentinel = np.zeros(n_rows, dtype=bool)
+
+    for i, raw in enumerate(captions.astype(object)):
+        raw = raw if isinstance(raw, str) else ""
+        t = sql_trim(raw)
+        n[i] = len(t)
+        toks = tokenize(raw)
+        n_tok[i] = len(toks)
+        n_utok[i] = len(set(toks))
+        n_stop[i] = sum(1 for x in toks if x in _STOPSET)
+        n_alpha[i] = len(_ALPHA.findall(t))
+        n_nonspace[i] = len(_WS_ALL.sub("", t))
+        is_sentinel[i] = t.lower() in _SENTINELS or t == ""
+
+    nf = n.astype(np.float64)
+    ntf = n_tok.astype(np.float64)
+
+    # score_len — identical piecewise shape/order as the SQL
+    score_len = np.where(
+        n == 0, 0.0,
+        np.where(n < spec.LEN_FULL_LO, (nf / spec.LEN_FULL_LO) * 0.5,
+                 np.where(n <= spec.LEN_FULL_HI, 1.0,
+                          np.maximum(0.0, 1.0 - (nf - spec.LEN_FULL_HI) / spec.LEN_DECAY))))
+
+    avg_wl = np.divide(n_nonspace.astype(np.float64), ntf,
+                       out=np.zeros(n_rows), where=n_tok > 0)
+    word_band = (n_tok > 0) & (avg_wl >= spec.WORD_AVG_LEN_LO) & (avg_wl <= spec.WORD_AVG_LEN_HI)
+    score_word = np.minimum(1.0, ntf / spec.WORD_TOK_FULL) * np.where(
+        word_band, 1.0, spec.WORD_AVG_LEN_PENALTY)
+
+    utok_ratio = np.divide(n_utok.astype(np.float64), ntf,
+                           out=np.zeros(n_rows), where=n_tok > 0)
+    score_rep = np.where(n_tok == 0, 0.0,
+                         np.where(n_tok < spec.REP_MIN_TOKENS, 1.0,
+                                  np.minimum(1.0, utok_ratio * spec.REP_BOOST)))
+
+    alpha_ratio = np.divide(n_alpha.astype(np.float64), n_nonspace.astype(np.float64),
+                            out=np.zeros(n_rows), where=n_nonspace > 0)
+    score_alpha = np.where(n_nonspace == 0, 0.0,
+                           np.minimum(1.0, alpha_ratio * spec.ALPHA_BOOST))
+
+    stop_ratio = np.divide(n_stop.astype(np.float64), ntf,
+                           out=np.zeros(n_rows), where=n_tok > 0)
+    score_stop = np.where(n_tok == 0, 0.0,
+                          np.minimum(1.0, spec.STOP_FLOOR + spec.STOP_BOOST * stop_ratio))
+
+    w = spec.RULE_WEIGHTS
+    quality = (w["len"] * score_len + w["word"] * score_word
+               + w["rep"] * score_rep + w["alpha"] * score_alpha
+               + w["stop"] * score_stop)
+
+    def status(s: np.ndarray) -> np.ndarray:
+        return np.where(
+            s >= spec.PRESENT_MIN, spec.STATUS_PRESENT,
+            np.where((s >= spec.PARTIAL_MIN) & (s <= spec.PARTIAL_MAX),
+                     spec.STATUS_PARTIAL, spec.STATUS_ABSENT))
+
+    scores = {"len": score_len, "word": score_word, "rep": score_rep,
+              "alpha": score_alpha, "stop": score_stop}
+    n_present = sum((s >= spec.PRESENT_MIN).astype(np.int32) for s in scores.values())
+
+    keep = ((quality >= spec.KEEP_QUALITY_MIN)
+            & (n_present >= spec.KEEP_PRESENT_MIN)
+            & (status(score_len) != spec.STATUS_ABSENT)
+            & ~is_sentinel
+            & (n > 0))
+
+    out = {"n_chars": n}
+    for name in spec.RULE_NAMES:
+        out[f"score_{name}"] = scores[name]
+    for name in spec.RULE_NAMES:
+        out[f"status_{name}"] = status(scores[name])
+    out["quality_score"] = quality
+    out["n_present"] = n_present.astype(np.int32)
+    out["keep"] = keep
+    return pd.DataFrame(out, index=captions.index)
+
+
+def expected_labels(images: pd.DataFrame) -> pd.DataFrame:
+    """FIXTURES.md section 2 golden table for an images DataFrame.
+
+    Core-rule labels + scrubbed captions + phash dedup flag
+    (canonical = min image_id per phash group, first-occurrence
+    semantics of the reference's order-preserving dedup cli.py:1281-1287).
+    """
+    feats = rule_features(images["caption"])
+    feats.insert(0, "image_id", images["image_id"].values)
+    feats["scrubbed_caption"] = [scrub(c) for c in images["caption"]]
+    canon = images.groupby("phash")["image_id"].transform("min")
+    feats["is_dup"] = (images["image_id"] != canon).values
+    return feats

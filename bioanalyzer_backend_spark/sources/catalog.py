@@ -1,0 +1,166 @@
+"""Snapshot-table storage layer: Iceberg semantics on plain parquet.
+
+The reference caches every intermediate in SQLite with keyed
+INSERT OR REPLACE (app/services/cache_manager.py:50-126); the warehouse
+equivalents are Iceberg tables with append/MERGE and snapshot isolation.
+The sandbox's PySpark bundles no Iceberg runtime jar (SURVEY.md section 7),
+so this module implements the same COMMIT semantics on a parquet directory:
+
+  * data files are written to ``data/`` with unique names (write-once);
+  * a snapshot is a JSON manifest listing its data files;
+  * ``HEAD`` names the current snapshot and is replaced atomically
+    (os.replace — POSIX rename atomicity);
+  * readers resolve HEAD -> manifest -> exact file list, so a killed
+    writer can never half-publish (exact-resume requirement).
+
+With a real cluster + Iceberg jar, ``IcebergTable`` below routes the same
+calls through ``df.writeTo(...)`` / MERGE INTO; selection is automatic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LocalSnapshotTable:
+    """Append-only snapshot table with atomic commits on local parquet."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "metadata")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # -- snapshot bookkeeping ------------------------------------------------
+
+    def _head_path(self) -> str:
+        return os.path.join(self.meta_dir, "HEAD")
+
+    def current_snapshot(self) -> dict | None:
+        try:
+            with open(self._head_path()) as f:
+                name = f.read().strip()
+            with open(os.path.join(self.meta_dir, name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _commit(self, files: list[str], parent: str | None,
+                operation: str) -> str:
+        snap_id = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.json"
+        manifest = {"snapshot": snap_id, "parent": parent,
+                    "operation": operation, "files": sorted(files)}
+        path = os.path.join(self.meta_dir, snap_id)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        head_tmp = self._head_path() + ".tmp"
+        with open(head_tmp, "w") as f:
+            f.write(snap_id)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(head_tmp, self._head_path())   # the atomic publish
+        return snap_id
+
+    def history(self) -> list[str]:
+        out = []
+        snap = self.current_snapshot()
+        while snap is not None:
+            out.append(snap["snapshot"])
+            parent = snap.get("parent")
+            if parent is None:
+                break
+            with open(os.path.join(self.meta_dir, parent)) as f:
+                snap = json.load(f)
+        return out
+
+    # -- operations ------------------------------------------------------------
+
+    def append(self, df: DataFrame) -> str:
+        """Write df as new data files, then atomically extend the manifest."""
+        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(batch_dir)
+        new_files = [os.path.join(batch_dir, f)
+                     for f in os.listdir(batch_dir) if f.endswith(".parquet")]
+        cur = self.current_snapshot()
+        files = (cur["files"] if cur else []) + new_files
+        return self._commit(files, cur["snapshot"] if cur else None, "append")
+
+    def merge_by_key(self, spark: SparkSession, src: DataFrame,
+                     key: str) -> str:
+        """MERGE semantics (INSERT OR REPLACE of cache_manager.py:100-111):
+        matched target rows are replaced by source rows, unmatched source
+        rows are inserted. Implemented as anti-join + union rewrite, then
+        one atomic snapshot swap."""
+        cur_df = self.read(spark)
+        if cur_df is None:
+            return self.append(src)
+        kept = cur_df.join(src.select(key), key, "left_anti")
+        merged = kept.unionByName(src)
+        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        merged.write.mode("overwrite").parquet(batch_dir)
+        new_files = [os.path.join(batch_dir, f)
+                     for f in os.listdir(batch_dir) if f.endswith(".parquet")]
+        cur = self.current_snapshot()
+        return self._commit(new_files, cur["snapshot"] if cur else None,
+                            "merge")
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        snap = self.current_snapshot()
+        if snap is None or not snap["files"]:
+            return None
+        return spark.read.parquet(*snap["files"])
+
+
+class IcebergTable:
+    """Same interface over a real Iceberg catalog (needs
+    --packages org.apache.iceberg:iceberg-spark-runtime-*)."""
+
+    def __init__(self, identifier: str):
+        self.identifier = identifier
+
+    def append(self, df: DataFrame) -> str:
+        df.writeTo(self.identifier).append()
+        return self.identifier
+
+    def merge_by_key(self, spark: SparkSession, src: DataFrame,
+                     key: str) -> str:
+        src.createOrReplaceTempView("_merge_src")
+        cols = src.columns
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+        vals = ", ".join(f"s.{c}" for c in cols)
+        spark.sql(f"""
+            MERGE INTO {self.identifier} t USING _merge_src s
+            ON t.{key} = s.{key}
+            WHEN MATCHED THEN UPDATE SET {sets}
+            WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) VALUES ({vals})
+        """)
+        return self.identifier
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.format("iceberg").load(self.identifier)
+
+
+def have_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def open_table(spark: SparkSession, location: str):
+    """Location 'catalog.db.tbl' -> Iceberg when the runtime is present,
+    else a filesystem path -> LocalSnapshotTable."""
+    if not location.startswith("/") and have_iceberg(spark):
+        return IcebergTable(location)
+    return LocalSnapshotTable(location)

@@ -164,7 +164,8 @@ KEEP_PRESENT_MIN = 2      # >= 2 of 5 rules PRESENT
 
 LANGS: tuple[str, ...] = ("en", "es", "de", "fr", "zh", "ar")
 LANG_CONF_MIN = 0.30      # langid confidence gate
-PPL_MAX = 1600.0          # char-LM perplexity gate (junk text scores high)
+PPL_MAX = 60.0            # byte-LM perplexity gate: real langs score ~10,
+                          # symbol soup hits the smoothing floor (~256)
 
 # Truncation budget before expensive UDF stages
 # (text_processing.py:127-146: 2000 tokens ~ 8000 chars).

@@ -97,6 +97,53 @@ def str_array(items: tuple[str, ...], d: str) -> str:
     return f"array({body})" if d == SPARK else f"[{body}]"
 
 
+def arr_get(e: str, i: str, d: str) -> str:
+    """1-based element access."""
+    return (f"element_at({e}, {i})" if d == SPARK
+            else f"list_extract({e}, {i})")
+
+
+def arr_slice(e: str, start: int, length: int, d: str) -> str:
+    return (f"slice({e}, {start}, {length})" if d == SPARK
+            else f"list_slice({e}, {start}, {start + length - 1})")
+
+
+def arr_join(e: str, sep: str, d: str) -> str:
+    return (f"array_join({e}, {slit(sep)})" if d == SPARK
+            else f"array_to_string({e}, {slit(sep)})")
+
+
+def int_seq(lo: str, hi: str, d: str) -> str:
+    """Inclusive [lo..hi] int array; EMPTY when hi < lo (Spark's sequence
+    would count down, DuckDB's range is exclusive-empty — normalized here)."""
+    if d == SPARK:
+        return (f"CASE WHEN ({hi}) >= ({lo}) THEN sequence({lo}, {hi}) "
+                f"ELSE CAST(array() AS array<int>) END")
+    return f"range(CAST({lo} AS BIGINT), CAST({hi} AS BIGINT) + 1)"
+
+
+def rx_extract(col: str, pattern: str, grp: int, d: str) -> str:
+    """Group extract, normalized to NULL on no-match in both dialects."""
+    return f"NULLIF(regexp_extract({col}, {rlit(pattern, d)}, {grp}), '')"
+
+
+def rx_extract_all_full(col: str, pattern: str, d: str) -> str:
+    """All full matches (group 0) as an array."""
+    if d == SPARK:
+        return f"regexp_extract_all({col}, {rlit(pattern, d)}, 0)"
+    return f"regexp_extract_all({col}, {rlit(pattern, d)})"
+
+
+def int_str(e: str, d: str) -> str:
+    return f"CAST({e} AS STRING)" if d == SPARK else f"CAST({e} AS VARCHAR)"
+
+
+def explode_col(e: str, alias: str, d: str) -> str:
+    """SELECT-list explode/unnest of an array column."""
+    return (f"explode({e}) AS {alias}" if d == SPARK
+            else f"unnest({e}) AS {alias}")
+
+
 # --------------------------------------------------------------------------
 # shared fragments
 # --------------------------------------------------------------------------
@@ -131,6 +178,81 @@ def _status_case(score: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# staged expression lists — shared by the CTE oracle query AND the
+# DataFrame pipeline (selectExpr stages), so both render from one source.
+# --------------------------------------------------------------------------
+
+def base_exprs(d: str, text_col: str) -> list[str]:
+    return [f"trim({text_col}) AS t", f"{tokens_expr(text_col, d)} AS toks"]
+
+
+def count_exprs(d: str) -> list[str]:
+    stop_arr = str_array(spec.ALL_STOPWORDS, d)
+    stop_filter = arr_filter("toks", f"x -> {arr_contains(stop_arr, 'x', d)}", d)
+    return [
+        "length(t) AS n",
+        f"{arr_len('toks', d)} AS n_tok",
+        f"{arr_len(arr_distinct('toks', d), d)} AS n_utok",
+        f"{arr_len(stop_filter, d)} AS n_stop",
+        f"{rx_count('t', '[A-Za-z]', d)} AS n_alpha",
+        f"length({rx_replace_all('t', spec.TOKEN_SPLIT_RE, '', d)}) AS n_nonspace",
+    ]
+
+
+def score_exprs(d: str) -> list[str]:
+    sentinels = ", ".join(slit(s) for s in spec.NULL_SENTINELS if s != "")
+    return [
+        f"""CASE WHEN n = 0 THEN 0.0
+              WHEN n < {spec.LEN_FULL_LO} THEN (n / {fmt(spec.LEN_FULL_LO)}) * 0.5
+              WHEN n <= {spec.LEN_FULL_HI} THEN 1.0
+              ELSE GREATEST(0.0, 1.0 - (n - {spec.LEN_FULL_HI}) / {fmt(spec.LEN_DECAY)}) END AS score_len""",
+        # NULLIF keeps ANSI-mode Spark from raising DIVIDE_BY_ZERO on empty
+        # captions: NULL comparison -> NULL -> CASE falls through to ELSE.
+        f"""LEAST(1.0, n_tok / {fmt(spec.WORD_TOK_FULL)}) *
+           CASE WHEN n_tok > 0
+                 AND CAST(n_nonspace AS DOUBLE) / NULLIF(n_tok, 0) >= {fmt(spec.WORD_AVG_LEN_LO)}
+                 AND CAST(n_nonspace AS DOUBLE) / NULLIF(n_tok, 0) <= {fmt(spec.WORD_AVG_LEN_HI)}
+                THEN 1.0 ELSE {fmt(spec.WORD_AVG_LEN_PENALTY)} END AS score_word""",
+        f"""CASE WHEN n_tok = 0 THEN 0.0
+              WHEN n_tok < {spec.REP_MIN_TOKENS} THEN 1.0
+              ELSE LEAST(1.0, (CAST(n_utok AS DOUBLE) / n_tok) * {fmt(spec.REP_BOOST)}) END AS score_rep""",
+        f"""CASE WHEN n_nonspace = 0 THEN 0.0
+              ELSE LEAST(1.0, (CAST(n_alpha AS DOUBLE) / n_nonspace) * {fmt(spec.ALPHA_BOOST)}) END AS score_alpha""",
+        f"""CASE WHEN n_tok = 0 THEN 0.0
+              ELSE LEAST(1.0, {fmt(spec.STOP_FLOOR)} + {fmt(spec.STOP_BOOST)} * (CAST(n_stop AS DOUBLE) / n_tok)) END AS score_stop""",
+        f"CASE WHEN lower(t) IN ({sentinels}) OR t = '' THEN TRUE ELSE FALSE END AS is_sentinel",
+    ]
+
+
+def _n_present_expr() -> str:
+    terms = " + ".join(
+        f"CAST(score_{r} >= {fmt(spec.PRESENT_MIN)} AS INT)"
+        for r in spec.RULE_NAMES)
+    return f"CAST({terms} AS INT)"
+
+
+def quality_expr() -> str:
+    w = spec.RULE_WEIGHTS
+    return " + ".join(f"{fmt(w[r])} * score_{r}" for r in spec.RULE_NAMES)
+
+
+def final_exprs(d: str) -> list[str]:
+    """Statuses + rollup + keep; reference score_*/is_sentinel/n columns."""
+    quality = quality_expr()
+    out = ["CAST(n AS BIGINT) AS n_chars"]
+    out += [f"{_status_case(f'score_{r}')} AS status_{r}" for r in spec.RULE_NAMES]
+    out.append(f"{quality} AS quality_score")
+    out.append(f"{_n_present_expr()} AS n_present")
+    out.append(f"""CASE WHEN ({quality}) >= {fmt(spec.KEEP_QUALITY_MIN)}
+             AND ({_n_present_expr()}) >= {spec.KEEP_PRESENT_MIN}
+             AND NOT ({_status_case('score_len')} = {slit(spec.STATUS_ABSENT)})
+             AND NOT is_sentinel
+             AND n > 0
+            THEN TRUE ELSE FALSE END AS keep""")
+    return out
+
+
+# --------------------------------------------------------------------------
 # the quality-core query (SQL-expressible slice of the pipeline)
 # --------------------------------------------------------------------------
 
@@ -142,79 +264,30 @@ def quality_core_sql(d: str, table: str = "documents", id_col: str = "doc_id",
       5 heuristic rules -> [0,1] scores -> 0.8/0.4 status bands (with the
       (0.7,0.8)->ABSENT quirk) -> weighted rollup -> keep/drop.
     """
-    toks = tokens_expr(text_col, d)
-    stop_arr = str_array(spec.ALL_STOPWORDS, d)
-    sentinels = ", ".join(
-        slit(s) for s in spec.NULL_SENTINELS if s != "")
-
-    w = spec.RULE_WEIGHTS
-    quality = (f"{fmt(w['len'])} * score_len + {fmt(w['word'])} * score_word"
-               f" + {fmt(w['rep'])} * score_rep"
-               f" + {fmt(w['alpha'])} * score_alpha"
-               f" + {fmt(w['stop'])} * score_stop")
-
+    base = ",\n         ".join(base_exprs(d, text_col))
+    cnt = ",\n         ".join(count_exprs(d))
+    scores = ",\n         ".join(score_exprs(d))
+    fin = ",\n       ".join(final_exprs(d))
+    score_cols = ", ".join(f"score_{r}" for r in spec.RULE_NAMES)
     return f"""
 WITH base AS (
   SELECT {id_col} AS row_id,
-         trim({text_col}) AS t,
-         {toks} AS toks
+         {base}
   FROM {table}
 ),
 cnt AS (
   SELECT row_id, t,
-         length(t) AS n,
-         {arr_len('toks', d)} AS n_tok,
-         {arr_len(arr_distinct('toks', d), d)} AS n_utok,
-         {arr_len(arr_filter('toks', f'x -> {arr_contains(stop_arr, "x", d)}', d), d)} AS n_stop,
-         {rx_count('t', '[A-Za-z]', d)} AS n_alpha,
-         length({rx_replace_all('t', spec.TOKEN_SPLIT_RE, '', d)}) AS n_nonspace
+         {cnt}
   FROM base
 ),
 scores AS (
   SELECT row_id, n,
-         CASE WHEN n = 0 THEN 0.0
-              WHEN n < {spec.LEN_FULL_LO} THEN (n / {fmt(spec.LEN_FULL_LO)}) * 0.5
-              WHEN n <= {spec.LEN_FULL_HI} THEN 1.0
-              ELSE GREATEST(0.0, 1.0 - (n - {spec.LEN_FULL_HI}) / {fmt(spec.LEN_DECAY)}) END AS score_len,
-         LEAST(1.0, n_tok / {fmt(spec.WORD_TOK_FULL)}) *
-           CASE WHEN n_tok > 0
-                 AND CAST(n_nonspace AS DOUBLE) / n_tok >= {fmt(spec.WORD_AVG_LEN_LO)}
-                 AND CAST(n_nonspace AS DOUBLE) / n_tok <= {fmt(spec.WORD_AVG_LEN_HI)}
-                THEN 1.0 ELSE {fmt(spec.WORD_AVG_LEN_PENALTY)} END AS score_word,
-         CASE WHEN n_tok = 0 THEN 0.0
-              WHEN n_tok < {spec.REP_MIN_TOKENS} THEN 1.0
-              ELSE LEAST(1.0, (CAST(n_utok AS DOUBLE) / n_tok) * {fmt(spec.REP_BOOST)}) END AS score_rep,
-         CASE WHEN n_nonspace = 0 THEN 0.0
-              ELSE LEAST(1.0, (CAST(n_alpha AS DOUBLE) / n_nonspace) * {fmt(spec.ALPHA_BOOST)}) END AS score_alpha,
-         CASE WHEN n_tok = 0 THEN 0.0
-              ELSE LEAST(1.0, {fmt(spec.STOP_FLOOR)} + {fmt(spec.STOP_BOOST)} * (CAST(n_stop AS DOUBLE) / n_tok)) END AS score_stop,
-         CASE WHEN lower(t) IN ({sentinels}) OR t = '' THEN TRUE ELSE FALSE END AS is_sentinel
+         {scores}
   FROM cnt
 )
 SELECT row_id,
-       CAST(n AS BIGINT) AS n_chars,
-       score_len, score_word, score_rep, score_alpha, score_stop,
-       {_status_case('score_len')} AS status_len,
-       {_status_case('score_word')} AS status_word,
-       {_status_case('score_rep')} AS status_rep,
-       {_status_case('score_alpha')} AS status_alpha,
-       {_status_case('score_stop')} AS status_stop,
-       {quality} AS quality_score,
-       CAST(CAST(score_len >= {fmt(spec.PRESENT_MIN)} AS INT)
-          + CAST(score_word >= {fmt(spec.PRESENT_MIN)} AS INT)
-          + CAST(score_rep >= {fmt(spec.PRESENT_MIN)} AS INT)
-          + CAST(score_alpha >= {fmt(spec.PRESENT_MIN)} AS INT)
-          + CAST(score_stop >= {fmt(spec.PRESENT_MIN)} AS INT) AS INT) AS n_present,
-       CASE WHEN ({quality}) >= {fmt(spec.KEEP_QUALITY_MIN)}
-             AND (CAST(score_len >= {fmt(spec.PRESENT_MIN)} AS INT)
-                + CAST(score_word >= {fmt(spec.PRESENT_MIN)} AS INT)
-                + CAST(score_rep >= {fmt(spec.PRESENT_MIN)} AS INT)
-                + CAST(score_alpha >= {fmt(spec.PRESENT_MIN)} AS INT)
-                + CAST(score_stop >= {fmt(spec.PRESENT_MIN)} AS INT)) >= {spec.KEEP_PRESENT_MIN}
-             AND NOT ({_status_case('score_len')} = {slit(spec.STATUS_ABSENT)})
-             AND NOT is_sentinel
-             AND n > 0
-            THEN TRUE ELSE FALSE END AS keep
+       {score_cols},
+       {fin}
 FROM scores
 """
 

@@ -1,15 +1,16 @@
-"""Dev harness: compare spark vs duckdb rendering of sqlgen queries on sf0.01.
+"""Dev harness: compare spark vs duckdb for every registry query on sf0.01.
 
-Mimics the driver's order-insensitive value-hash compare.
+Mimics the driver's order-insensitive value-hash compare (exact values).
 """
 import sys
+import time
 
 import duckdb
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
-from bioanalyzer_backend_spark import sqlgen
-from bioanalyzer_backend_spark.session import build_session, register_testdata_views
+from bioanalyzer_backend_spark.plans.catalog_queries import registry
+from bioanalyzer_backend_spark.session import build_session
 
 SF = "/root/testdata/sf0.01"
 
@@ -29,44 +30,50 @@ def compare(name, sdf, ddf):
             pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
             ok_vals = True
         except AssertionError as e:
-            print(f"[{name}] VALUE MISMATCH: {str(e)[:2000]}")
-    print(f"[{name}] rows={len(s)}/{len(d)} ok_rows={ok_rows} ok_cols={ok_cols} ok_vals={ok_vals}")
+            print(f"[{name}] VALUE MISMATCH: {str(e)[:1500]}")
+    status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+    print(f"[{name}] {status} rows={len(s)}/{len(d)} cols_ok={ok_cols}")
     if not ok_cols:
-        print("  spark cols:", list(s.columns))
-        print("  duck  cols:", list(d.columns))
-    return ok_vals
+        print("  spark:", list(s.columns), "\n  duck :", list(d.columns))
+    return ok_rows and ok_cols and ok_vals
 
 
 def main():
+    only = sys.argv[1:] or None
     spark = build_session("parity-dev", master="local[8]")
-    register_testdata_views(spark, SF)
     con = duckdb.connect()
     for t in ("documents", "events", "lineitem", "orders", "customer",
               "nation", "region", "supplier", "part", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
-    cases = {
-        "quality_core": (sqlgen.quality_core_sql(sqlgen.SPARK),
-                         sqlgen.quality_core_sql(sqlgen.DUCK)),
-        "scrub": (sqlgen.scrub_sql(sqlgen.SPARK), sqlgen.scrub_sql(sqlgen.DUCK)),
-    }
-    all_ok = True
-    for name, (ssql, dsql) in cases.items():
+    n_ok = n_fail = 0
+    for name, (spark_fn, duck_sql) in registry().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
         try:
-            sdf = spark.sql(ssql).toPandas()
+            sdf = spark_fn(spark, SF).toPandas()
         except Exception as e:
-            print(f"[{name}] SPARK ERROR: {e}")
-            all_ok = False
+            print(f"[{name}] SPARK ERROR: {str(e)[:800]}")
+            n_fail += 1
+            continue
+        if duck_sql is None:
+            print(f"[{name}] rows-only: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            n_ok += 1
             continue
         try:
-            ddf = con.execute(dsql).df()
+            ddf = con.execute(duck_sql).df()
         except Exception as e:
-            print(f"[{name}] DUCK ERROR: {e}")
-            all_ok = False
+            print(f"[{name}] DUCK ERROR: {str(e)[:800]}")
+            n_fail += 1
             continue
-        all_ok &= compare(name, sdf, ddf)
+        if compare(name, sdf, ddf):
+            n_ok += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_ok} ok, {n_fail} fail")
     spark.stop()
-    sys.exit(0 if all_ok else 1)
+    sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":

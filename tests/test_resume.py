@@ -1,0 +1,76 @@
+"""Checkpoint/resume semantics: kill mid-run, restart, byte-identical result
+(SURVEY.md section 5.5; cache_manager.py keyed-upsert semantics)."""
+
+import pytest
+
+from bioanalyzer_backend_spark.plans import resume
+from bioanalyzer_backend_spark.plans.resume import run_with_resume
+from bioanalyzer_backend_spark.sources.catalog import LocalSnapshotTable
+
+
+def _tables(tmp_path):
+    return (LocalSnapshotTable(str(tmp_path / "results")),
+            LocalSnapshotTable(str(tmp_path / "audit")),
+            LocalSnapshotTable(str(tmp_path / "ckpt")))
+
+
+def _collect_sorted(spark, tbl):
+    df = tbl.read(spark)
+    return sorted((r["image_id"], r["keep"], r["scrubbed_caption"])
+                  for r in df.select("image_id", "keep",
+                                     "scrubbed_caption").collect())
+
+
+def test_resume_after_injected_failure(spark, synth_images_df, tmp_path,
+                                       artifacts_dir):
+    df = synth_images_df.limit(400)
+
+    # reference run: uninterrupted
+    r_res, r_aud, r_ck = _tables(tmp_path / "ref")
+    stats = run_with_resume(spark, df, r_res, r_aud, r_ck, n_groups=4)
+    assert stats["newly_committed"] == 4
+    expected = _collect_sorted(spark, r_res)
+
+    # crashed run: dies after 2 of 4 group commits
+    c_res, c_aud, c_ck = _tables(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_resume(spark, df, c_res, c_aud, c_ck, n_groups=4,
+                        fail_after=2)
+    assert len(resume.committed_groups(spark, c_ck)) == 2
+
+    # restart: must process ONLY the 2 remaining groups
+    stats2 = run_with_resume(spark, df, c_res, c_aud, c_ck, n_groups=4)
+    assert stats2["newly_committed"] == 2
+    assert _collect_sorted(spark, c_res) == expected
+
+    # idempotent: third run does nothing
+    stats3 = run_with_resume(spark, df, c_res, c_aud, c_ck, n_groups=4)
+    assert stats3["newly_committed"] == 0
+    assert _collect_sorted(spark, c_res) == expected
+
+    # audit rows exist with positive counts
+    aud = c_aud.read(spark).toPandas()
+    assert set(aud["rule"]) == {"len", "word", "rep", "alpha", "stop"}
+    assert (aud["n_in"] > 0).all()
+
+
+def test_snapshot_atomicity(spark, tmp_path):
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    assert tbl.read(spark) is None
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    tbl.append(df1)
+    assert tbl.read(spark).count() == 2
+    tbl.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    assert tbl.read(spark).count() == 3
+    assert len(tbl.history()) == 2
+
+
+def test_merge_by_key_upsert(spark, tmp_path):
+    """INSERT OR REPLACE semantics of cache_manager.py:100-111."""
+    tbl = LocalSnapshotTable(str(tmp_path / "m"))
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    tbl.merge_by_key(
+        spark, spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string"),
+        "k")
+    got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "C"}

@@ -1,0 +1,155 @@
+"""Unit tests per operator family (SURVEY.md section 5.3-5.4).
+
+Status-band edges (including the reference's (0.7,0.8)->ABSENT quirk from
+field_validator.py:100-108), scrub idempotence/unicode properties,
+tokenizer semantics, codec round-trips, phash stability.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bioanalyzer_backend_spark import spec
+from bioanalyzer_backend_spark.datagen.imgcodec import (decode_bmp, decode_ppm,
+                                                        encode_bmp, encode_ppm,
+                                                        psnr)
+from bioanalyzer_backend_spark.functions.phash import average_hash
+from bioanalyzer_backend_spark.rules import reference_impl as ri
+
+
+# --------------------------------------------------------------------------
+# status banding — the quirk is load-bearing
+# --------------------------------------------------------------------------
+
+def _status_of(score: float) -> str:
+    df = ri.rule_features(pd.Series(["x"]))  # shape probe
+    # reimplement the band exactly as spec'd for a scalar
+    if score >= spec.PRESENT_MIN:
+        return spec.STATUS_PRESENT
+    if spec.PARTIAL_MIN <= score <= spec.PARTIAL_MAX:
+        return spec.STATUS_PARTIAL
+    return spec.STATUS_ABSENT
+
+
+@pytest.mark.parametrize("score,expected", [
+    (0.0, "ABSENT"), (0.39, "ABSENT"),
+    (0.4, "PARTIALLY_PRESENT"), (0.55, "PARTIALLY_PRESENT"),
+    (0.7, "PARTIALLY_PRESENT"),
+    (0.75, "ABSENT"),          # the reference quirk: (0.7, 0.8) -> ABSENT
+    (0.79, "ABSENT"),
+    (0.8, "PRESENT"), (1.0, "PRESENT"),
+])
+def test_status_bands(score, expected):
+    assert _status_of(score) == expected
+
+
+def test_band_quirk_in_spark(spark):
+    """The (0.7,0.8)->ABSENT quirk must survive the Spark rendering."""
+    from bioanalyzer_backend_spark import sqlgen
+    rows = spark.sql(
+        "SELECT " + sqlgen._status_case("0.75") + " AS s").collect()
+    assert rows[0]["s"] == "ABSENT"
+
+
+# --------------------------------------------------------------------------
+# scrub properties
+# --------------------------------------------------------------------------
+
+SCRUB_CASES = [
+    ("contact john.doe@example.com now", "<EMAIL>"),
+    ("visit https://ex.com/a?b=1 ok", "<URL>"),
+    ("www.pics.example.net rocks", "<URL>"),
+    ("ssn 123-45-6789 leaked", "<ID>"),
+    ("call +1 (555) 123-4567 now", "<PHONE>"),
+    ("cited [1, 2] here", "cited here"),
+    ("shown (Figure 3) fine", "shown fine"),
+]
+
+
+@pytest.mark.parametrize("text,frag", SCRUB_CASES)
+def test_scrub_hits(text, frag):
+    assert frag in ri.scrub(text)
+
+
+@pytest.mark.parametrize("text", [
+    "", "   ", "plain caption with no pii at all",
+    "a@b.co and +44 20 7946 0958 and [3] and https://x.y",
+    "emoji \U0001F600 caption", "مدينة rtl text",
+    "café ümläut", "这是一张照片",
+])
+def test_scrub_idempotent(text):
+    once = ri.scrub(text)
+    assert ri.scrub(once) == once
+
+
+def test_scrub_matches_spark(spark):
+    from bioanalyzer_backend_spark import sqlgen
+    texts = [t for t, _ in SCRUB_CASES] + [
+        "multi john@a.io jane@b.io +1 555 123 4567 123-45-6789 "
+        "https://a.b [1] (Table 2) end"]
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.selectExpr(
+        "i", sqlgen.scrub_expr("text", sqlgen.SPARK) + " AS s"
+    ).toPandas().sort_values("i")
+    expected = [ri.scrub(t) for t in texts]
+    assert out["s"].tolist() == expected
+
+
+# --------------------------------------------------------------------------
+# tokenizer semantics (SQL-parity critical)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("text,toks", [
+    ("", []),
+    ("   ", []),
+    (" \t ", []),
+    ("Hello, World!", ["hello", "world"]),
+    ("a  b\tc\nd", ["a", "b", "c", "d"]),
+    ("--x-- ''y''", ["x", "y"]),
+    ("123 45a", ["123", "45a"]),
+    ("这是", []),             # non-ASCII tokens strip to empty
+])
+def test_tokenize(text, toks):
+    assert ri.tokenize(text) == toks
+
+
+def test_sql_trim_is_space_only():
+    assert ri.sql_trim(" \tx ") == "\tx"
+
+
+# --------------------------------------------------------------------------
+# codecs + phash
+# --------------------------------------------------------------------------
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(0)
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 13)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+def test_psnr_lossy_quantization():
+    """6-bit quantization stays above the 40 dB gate; 3-bit falls below."""
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    q6 = (px & ~np.uint8(3))
+    q3 = (px & ~np.uint8(31))
+    assert psnr(px, px) == float("inf")
+    assert psnr(px, q6) >= 40.0
+    assert psnr(px, q3) < 40.0
+
+
+def test_phash_stable_and_noise_invariant():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    h1 = average_hash(px)
+    assert h1 == average_hash(px.copy())
+    assert isinstance(h1, int)
+    assert -(1 << 63) <= h1 < (1 << 63)
