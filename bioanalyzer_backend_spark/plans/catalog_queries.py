@@ -158,6 +158,97 @@ FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.row_id < b.row_id
 """
 
 
+def _tok_hashes(d: str, distinct: bool) -> str:
+    """Per-doc array of 32-bit token hashes (md5-prefix family)."""
+    toks = sqlgen.tokens_expr("text", d)
+    src = sqlgen.arr_distinct("toks", d) if distinct else "toks"
+    hs = sqlgen.arr_transform(src, f"x -> {sqlgen.md5_hash32('x', d)}", d)
+    return (f"SELECT doc_id AS row_id, {hs} AS hs "
+            f"FROM (SELECT doc_id, {toks} AS toks FROM documents)")
+
+
+def _q_simhash16(d: str) -> str:
+    """SimHash near-dup signature, 16-bit SQL-expressible twin of the
+    64-bit pandas-UDF SimHash (operators/dedup.py): per-bit +1/-1 votes
+    over distinct-token hashes, sign -> bit. Vote fold is commutative so
+    array order never matters."""
+    votes = []
+    for j in range(16):
+        bit = f"({sqlgen.shiftr('h', j, d)}) % 2"
+        body = f"acc + CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"
+        votes.append(f"{sqlgen.fold_bigint('hs', body, d)} AS v{j}")
+    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END"
+                     for j in range(16))
+    return f"""
+WITH h AS ({_tok_hashes(d, distinct=True)}),
+v AS (SELECT row_id, {', '.join(votes)} FROM h)
+SELECT row_id, CAST({sig} AS BIGINT) AS simhash16 FROM v
+"""
+
+
+def _q_rolling_fp(d: str) -> str:
+    """Document fingerprint via order-sensitive polynomial rolling hash
+    (acc*131 + tok_hash mod 2^31-1 — Karp-Rabin shape, overflow-free under
+    ANSI mode: intermediate < 2^40)."""
+    fold = sqlgen.fold_bigint("hs", "(acc * 131 + h) % 2147483647", d)
+    return (f"WITH h AS ({_tok_hashes(d, distinct=False)}) "
+            f"SELECT row_id, CAST({fold} AS BIGINT) AS rolling_fp FROM h")
+
+
+def _q_embedding_neardup(d: str) -> str:
+    """Embedding-cosine near-dup pairs, scale path: sign-LSH bucket on the
+    first 8 dims prunes the pair space (same-bucket join), exact cosine
+    re-rank on survivors. Threshold low because the synthetic embeddings
+    are near-orthogonal (max pairwise cos ~0.4)."""
+    bucket = " + ".join(
+        f"CASE WHEN {sqlgen.arr_get('embedding', str(j + 1), d)} > 0 "
+        f"THEN {1 << j} ELSE 0 END" for j in range(8))
+    dot_ab = _dot("a.embedding", "b.embedding", d)
+    dot_aa = _dot("a.embedding", "a.embedding", d)
+    dot_bb = _dot("b.embedding", "b.embedding", d)
+    return f"""
+WITH e AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bkt FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({dot_ab} / (SQRT({dot_aa}) * SQRT({dot_bb})), 5) AS cos_sim
+      FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.15
+ORDER BY cos_sim DESC, id_a, id_b
+"""
+
+
+def _q_neardup_dedup(d: str) -> str:
+    """End-to-end near-dedup: MinHash-LSH candidates -> exact Jaccard
+    verify (>=0.8) -> per-doc is_neardup flag (dup = verified partner with
+    smaller id). The full shingle->minhash->band->bucket-join->verify
+    pipeline as one plan."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT row_id, {b} AS band, g FROM ex" for b in range(4))
+    return f"""
+WITH s AS ({_shingles(d)}),
+ex AS (SELECT row_id, {sqlgen.explode_col('sh', 'g', d)} FROM s),
+bands AS ({band_rows}),
+sig AS (SELECT row_id, band,
+               MIN(md5({sqlgen.int_str('band', d)} || '|' || g)) AS mh
+        FROM bands GROUP BY row_id, band),
+cand AS (SELECT DISTINCT a.row_id AS ra, b.row_id AS rb
+         FROM sig a JOIN sig b
+           ON a.band = b.band AND a.mh = b.mh AND a.row_id < b.row_id),
+sz AS (SELECT row_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY row_id),
+ver AS (SELECT c.ra, c.rb, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN ex x ON x.row_id = c.ra
+        JOIN ex y ON y.row_id = c.rb AND x.g = y.g
+        GROUP BY c.ra, c.rb),
+dup AS (SELECT DISTINCT v.rb AS row_id
+        FROM ver v JOIN sz sa ON sa.row_id = v.ra
+                   JOIN sz sb ON sb.row_id = v.rb
+        WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= 0.8)
+SELECT s.row_id,
+       CASE WHEN dup.row_id IS NOT NULL THEN TRUE ELSE FALSE END AS is_neardup
+FROM s LEFT JOIN dup ON s.row_id = dup.row_id
+"""
+
+
 def _q_events_ttl(d: str) -> str:
     """S6/F3 TTL-validity analogue (cache_manager.py:296-307): rows within
     24h of the latest timestamp, per type."""
@@ -337,6 +428,10 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "langid_marker_documents": _q_langid_marker,
     "ngram_jaccard_top20": _q_ngram_jaccard,
     "minhash_lsh_pairs": _q_minhash_bands,
+    "simhash16_documents": _q_simhash16,
+    "rolling_fp_documents": _q_rolling_fp,
+    "embedding_neardup_pairs": _q_embedding_neardup,
+    "neardup_dedup_documents": _q_neardup_dedup,
     "events_ttl_recent": _q_events_ttl,
     "events_summary": _q_events_summary,
     "lineitem_rollup": _q_lineitem_rollup,
@@ -396,9 +491,59 @@ def _q_langid_udf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "lang_conf", "ppl")
 
 
+def _q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucketed cosine top-10 (query = vec_id 0).
+    Probes only buckets within Hamming radius 4 of the query signature,
+    exact cosine re-rank on survivors (operators/similarity.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_cosine_topk(
+        emb.where("vec_id != 0"), q, k=10, n_planes=16, hamming_radius=4)
+
+
+def _q_simhash_pairs_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates over synthetic captions: 64-bit pandas-UDF
+    signatures, 16-bit block bucketing (Hamming<=3 guaranteed by pigeonhole),
+    exact Hamming verify <= 3."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup
+    df = _synth_df(spark).select("image_id", "caption")
+    pairs = dedup.simhash_candidates(df)
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .where(F.col("hamming") <= 3)
+            .select("id_a", "id_b", "hamming"))
+
+
+def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode binary image column -> per-channel means + error
+    rows (mapInPandas, operators/multimodal.py)."""
+    from ..operators import multimodal
+    return multimodal.image_stats(_synth_df(spark))
+
+
+def _q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode -> 8x8 thumbnail -> re-encode BMP (mapInPandas)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal
+    out = multimodal.resize_images(_synth_df(spark), 8, 8)
+    return out.select("image_id", "w", "h", "fmt",
+                      F.length("bytes").alias("n_bytes"))
+
+
 _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_full_images": _q_full_pipeline_images,
     "langid_udf_documents": _q_langid_udf_documents,
+    "ann_lsh_top10": _q_ann_lsh_top10,
+    "simhash_pairs_images": _q_simhash_pairs_images,
+    "image_stats_multimodal": _q_image_stats,
+    "resize_thumbs_multimodal": _q_resize_thumbs,
 }
 
 

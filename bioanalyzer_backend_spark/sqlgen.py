@@ -144,6 +144,32 @@ def explode_col(e: str, alias: str, d: str) -> str:
             else f"unnest({e}) AS {alias}")
 
 
+def md5_hash32(e: str, d: str) -> str:
+    """Deterministic 32-bit hash of a string expr: first 8 hex chars of its
+    md5 digest as a BIGINT (dialect-portable hash family for SimHash /
+    rolling fingerprints — both engines agree on md5)."""
+    if d == SPARK:
+        return f"CAST(conv(substring(md5({e}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substring(md5({e}), 1, 8) AS BIGINT)"
+
+
+def shiftr(e: str, n: int, d: str) -> str:
+    """Logical right shift of a non-negative BIGINT."""
+    return f"shiftright({e}, {n})" if d == SPARK else f"({e} >> {n})"
+
+
+def fold_bigint(arr: str, body: str, d: str) -> str:
+    """Left fold over a BIGINT array with accumulator init 0.
+
+    *body* uses lambda vars ``(acc, h)``. Spark: higher-order ``aggregate``;
+    DuckDB: ``list_reduce`` seeded by prepending the init element (same
+    left-to-right semantics, verified empty-array safe)."""
+    if d == SPARK:
+        return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, h) -> {body})"
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), "
+            f"(acc, h) -> {body})")
+
+
 # --------------------------------------------------------------------------
 # shared fragments
 # --------------------------------------------------------------------------

@@ -1,0 +1,196 @@
+"""Unit tests for dedup, similarity-search and multimodal operators.
+
+Oracle strategy (SURVEY.md section 5): every Spark operator is checked
+against an independent numpy/pandas computation on the same rows; LSH
+paths are checked against their own brute-force exact counterparts.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bioanalyzer_backend_spark.datagen import imgcodec
+from bioanalyzer_backend_spark.operators import dedup, multimodal, similarity
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def test_simhash_batch_deterministic_and_locality():
+    texts = pd.Series([
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # 1 token differs
+        "completely unrelated caption about spark plans",
+        "",
+    ])
+    a = dedup.simhash_batch(texts)
+    b = dedup.simhash_batch(texts)
+    pd.testing.assert_series_equal(a, b)          # deterministic
+    assert a[3] == 0                               # empty -> 0
+
+    def ham(x, y):
+        return bin((int(x) ^ int(y)) & ((1 << 64) - 1)).count("1")
+
+    near = ham(a[0], a[1])
+    far = ham(a[0], a[2])
+    assert near < far                              # locality-sensitive
+
+
+def test_simhash_spark_matches_numpy(spark, synth_images_df):
+    df = synth_images_df.select("image_id", "caption").limit(200)
+    got = dedup.with_simhash(df).toPandas().sort_values("image_id")
+    want = dedup.simhash_batch(
+        got.sort_values("image_id")["caption"].reset_index(drop=True))
+    np.testing.assert_array_equal(
+        got["simhash"].to_numpy(), want.to_numpy())
+
+
+def test_simhash_candidates_cover_hamming3_pairs(spark):
+    # pigeonhole: signatures within Hamming<=3 agree on >=1 of 4 blocks
+    rows = [("a", "the quick brown fox jumps over the lazy dog today"),
+            ("b", "the quick brown fox jumps over the lazy dog tonight"),
+            ("c", "totally different words entirely unrelated caption here")]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    sigs = dedup.simhash_batch(pd.Series([r[1] for r in rows]))
+    ham_ab = bin((int(sigs[0]) ^ int(sigs[1])) & ((1 << 64) - 1)).count("1")
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.simhash_candidates(df).collect()}
+    if ham_ab <= 3:
+        assert ("a", "b") in pairs
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH + Jaccard verify
+# --------------------------------------------------------------------------
+
+def _true_jaccard(t1: str, t2: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    a, b = sh(t1), sh(t2)
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_minhash_candidates_then_jaccard_verify(spark):
+    base = ("a scenic view of mountains under a clear blue sky with "
+            "green trees and a quiet lake in the foreground")
+    near = base.replace("quiet", "calm")
+    far = "numbers 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20"
+    rows = [("d1", base), ("d2", near), ("d3", far)]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+
+    cand = dedup.minhash_lsh_candidates(df)
+    got_pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert ("d1", "d2") in got_pairs          # high-jaccard pair surfaces
+
+    ver = dedup.jaccard_verify(df, cand, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in ver}
+    assert ("d1", "d2") in got
+    assert got[("d1", "d2")] == pytest.approx(_true_jaccard(base, near))
+    assert ("d1", "d3") not in got            # verify kills false positives
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    rows = [("i3", 7), ("i1", 7), ("i2", 9)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    kept = sorted(r.image_id for r in dedup.exact_dedup(df).collect())
+    assert kept == ["i1", "i2"]
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    vecs[5] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(300),
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    df, vecs = emb_df
+    q = vecs[0].astype(np.float64)
+    got = similarity.cosine_topk(df.where("vec_id != 0"), q.tolist(), k=5)
+    got_ids = [r.vec_id for r in got.collect()]
+
+    others = np.delete(np.arange(300), 0)
+    m = vecs[others].astype(np.float64)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    want_ids = others[np.argsort(-cos, kind="stable")][:5].tolist()
+    assert got_ids == want_ids
+    assert got_ids[0] == 5                    # planted near-dup wins
+
+
+def test_lsh_topk_full_radius_equals_bruteforce(spark, emb_df):
+    df, vecs = emb_df
+    q = vecs[0].tolist()
+    brute = [r.vec_id for r in
+             similarity.cosine_topk(df.where("vec_id != 0"), q, 5).collect()]
+    lsh_all = [r.vec_id for r in similarity.lsh_cosine_topk(
+        df.where("vec_id != 0"), q, k=5, n_planes=12,
+        hamming_radius=12).collect()]
+    assert lsh_all == brute                   # radius=planes => no pruning
+
+
+def test_lsh_topk_pruned_finds_neardup(spark, emb_df):
+    df, vecs = emb_df
+    got = similarity.lsh_cosine_topk(
+        df.where("vec_id != 0"), vecs[0].tolist(), k=5,
+        n_planes=12, hamming_radius=2)
+    rows = got.collect()
+    assert rows and rows[0].vec_id == 5       # near-dup shares the bucket
+
+
+def test_embedding_neardup_pairs_finds_planted(spark, emb_df):
+    df, _ = emb_df
+    pairs = similarity.embedding_neardup_pairs(df, dim=16, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 5) in got
+
+
+# --------------------------------------------------------------------------
+# Multimodal (binary image columns)
+# --------------------------------------------------------------------------
+
+def test_image_stats_matches_numpy(spark, synth_images, synth_images_df):
+    got = multimodal.image_stats(synth_images_df.limit(50)).toPandas()
+    ok = got[got.ok]
+    assert len(ok) > 0
+    src = synth_images.set_index("image_id")
+    for _, r in ok.head(10).iterrows():
+        row = src.loc[r.image_id]
+        px = imgcodec.decode(bytes(row["bytes"]), row["fmt"])
+        m = px.reshape(-1, 3).mean(axis=0)
+        assert r.mean_r == pytest.approx(float(m[0]))
+        assert r.decoded_w == px.shape[1] and r.decoded_h == px.shape[0]
+
+
+def test_image_stats_error_rows(spark):
+    rows = [("bad1", bytearray(b"\x00\x01junk"), "bmp"),
+            ("bad2", bytearray(b""), "ppm")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = multimodal.image_stats(df).toPandas().sort_values("image_id")
+    assert (~got.ok).all()
+    assert got.err.str.len().gt(0).all()      # F6: errors flow as data
+
+
+def test_resize_images_roundtrip(spark, synth_images_df):
+    out = multimodal.resize_images(synth_images_df.limit(20), 8, 8).toPandas()
+    assert len(out) > 0
+    assert (out.w == 8).all() and (out.h == 8).all()
+    px = imgcodec.decode(bytes(out.iloc[0]["bytes"]), "bmp")
+    assert px.shape == (8, 8, 3)
+
+
+def test_audio_video_stubs_raise(spark, synth_images_df):
+    with pytest.raises(NotImplementedError):
+        multimodal.audio_features(synth_images_df)
+    with pytest.raises(NotImplementedError):
+        multimodal.video_frame_sample(synth_images_df)
