@@ -40,6 +40,17 @@ def build_session(app_name: str = "bioanalyzer-spark",
          # image rows carry ~10-100 KB binary payloads: cap Arrow batches
          # so a batch stays well under executor-python memory
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         # InferFiltersFromConstraints turns join keys into IsNotNull
+         # filters and pushes them below projections; for our computed
+         # join keys (minhash/simhash signatures: nested higher-order
+         # funcs over shingle arrays) that re-evaluates the whole
+         # expression once more per row per branch — measured 10x
+         # slowdown on the near-dup queries at sf0.1. NULL keys are
+         # dropped by the hash join itself, so the rule buys nothing
+         # for these plans.
+         .config("spark.sql.optimizer.excludedRules",
+                 "org.apache.spark.sql.catalyst.optimizer."
+                 "InferFiltersFromConstraints")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
          .config("spark.ui.enabled", "false"))

@@ -78,6 +78,10 @@ def arr_distinct(e: str, d: str) -> str:
     return f"array_distinct({e})" if d == SPARK else f"list_distinct({e})"
 
 
+def arr_min(e: str, d: str) -> str:
+    return f"array_min({e})" if d == SPARK else f"list_min({e})"
+
+
 def arr_filter(e: str, lam: str, d: str) -> str:
     return f"filter({e}, {lam})" if d == SPARK else f"list_filter({e}, {lam})"
 
