@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import sqlgen
@@ -26,11 +26,14 @@ from .. import sqlgen
 
 def exact_dedup(df: DataFrame, key: str = "phash",
                 id_col: str = "image_id") -> DataFrame:
-    """Keep only canonical rows (min id per key group) — A7 semantics."""
-    w = Window.partitionBy(key).orderBy(id_col)
+    """Keep only canonical rows (min id per key group) — A7 semantics.
+
+    groupBy+min instead of a window: the algebraic aggregate gets
+    map-side partial combine, so a mass-duplicated key reduces to one row
+    per map task instead of concentrating all rows in one window reducer
+    (same rationale as plans/pipeline.apply_dedup_flag)."""
     slim = (df.select(id_col, key)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+            .groupBy(key).agg(F.min(id_col).alias(id_col))
             .select(id_col))
     return df.join(slim, id_col, "left_semi")
 

@@ -551,6 +551,32 @@ def _q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("bytes").alias("n_bytes"))
 
 
+def _q_keep_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused twin of qf_keep_by_lang: the hot-language groupBy runs
+    as a two-phase salted aggregation (operators/skew.py) — same result,
+    but a hot language is reduced by up to 16 parallel tasks instead of
+    one. Registered with the PLAIN groupBy's oracle SQL: the driver's
+    value-hash compare is the equivalence proof."""
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_sum_agg
+    register_testdata_views(spark, sf_dir)
+    core = spark.sql(sqlgen.quality_core_sql(SPARK))
+    docs = spark.table("documents").select("doc_id", "lang")
+    joined = core.join(docs, core.row_id == docs.doc_id).select(
+        "row_id", "lang", "keep", "n_present")
+    out = salted_sum_agg(
+        joined, keys=["lang"],
+        sums={"n_docs": F.lit(1).cast("long"),
+              "n_keep": F.col("keep").cast("int"),
+              "sum_present": F.col("n_present").cast("int")},
+        id_col="row_id", n_salt=16)
+    return out.select("lang",
+                      F.col("n_docs").cast("long"),
+                      F.col("n_keep").cast("long"),
+                      F.col("sum_present").cast("long"))
+
+
 _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_full_images": _q_full_pipeline_images,
     "langid_udf_documents": _q_langid_udf_documents,
@@ -601,6 +627,10 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             reg[name] = (_mk_spark_fn_mat_shingles(builder), builder(DUCK))
         else:
             reg[name] = (_mk_spark_fn(builder), builder(DUCK))
+    # Salted two-phase agg vs the plain-groupBy oracle SQL: result parity
+    # IS the skew-defusal equivalence proof.
+    reg["keep_by_lang_salted"] = (_q_keep_by_lang_salted,
+                                  _q_keep_by_lang(DUCK))
     for name, fn in _SPARK_ONLY.items():
         reg[name] = (fn, None)
     return reg

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import spec, sqlgen
@@ -89,16 +89,21 @@ def apply_dedup_flag(df: DataFrame, key: str = "phash",
     """is_dup: non-canonical rows of a phash group (canonical = min id).
 
     Two-phase so the binary `bytes` column never enters a shuffle
-    (SURVEY.md section 4, "binary-column hygiene"): the window runs on a
-    two-column projection; the tiny (id, is_dup) frame joins back on the
-    unique id, which AQE converts to a broadcast join when it fits.
-    At warehouse scale the input is bucketed by bucket(phash, N) so this
-    stage is shuffle-free (storage-partitioned join).
+    (SURVEY.md section 4, "binary-column hygiene"): canonical ids come
+    from ``groupBy(phash).min(id)`` over a two-column projection — an
+    algebraic aggregate with map-side partial combine, so a hot phash
+    (mass-duplicated image) reduces to one row per map task instead of
+    concentrating every duplicate row in a single window reducer. The
+    tiny (id, is_dup) frame joins back on the unique id (AQE broadcasts
+    it when it fits; skewJoin splits it otherwise). At warehouse scale
+    the input is bucketed by bucket(phash, N), making the agg
+    shuffle-free.
     """
     slim = df.select(id_col, key)
-    w = Window.partitionBy(key).orderBy(id_col)
-    flags = slim.withColumn(
-        "is_dup", F.row_number().over(w) > F.lit(1)).drop(key)
+    canon = slim.groupBy(key).agg(F.min(id_col).alias("_canon_id"))
+    flags = (slim.join(canon, key)
+             .select(id_col,
+                     (F.col(id_col) != F.col("_canon_id")).alias("is_dup")))
     return df.join(flags, id_col, "left")
 
 
