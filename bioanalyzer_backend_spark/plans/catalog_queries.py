@@ -263,6 +263,36 @@ FROM s LEFT JOIN dup ON s.row_id = dup.row_id
 """
 
 
+def _q_confidence_boost(d: str) -> str:
+    """A3 (gemini_qa.py:679-708): confidence mean with high-score boost —
+    scores >= 0.8 weighted x1.2, mean over rules, clamped to 1.0."""
+    terms = " + ".join(
+        f"(CASE WHEN score_{r} >= 0.8 THEN score_{r} * 1.2 "
+        f"ELSE score_{r} END)" for r in spec.RULE_NAMES)
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)})
+SELECT row_id,
+       LEAST(CAST(1.0 AS DOUBLE),
+             ({terms}) / {len(spec.RULE_NAMES)}) AS boosted_conf
+FROM q
+"""
+
+
+def _q_curation_summary(d: str) -> str:
+    """R16 (gemini_qa.py:721-729 / field_validator.py:234-244): summary
+    message keyed by number of missing (non-PRESENT) rules: 0 / 1 / <=3 / >3."""
+    n_missing = f"{len(spec.RULE_NAMES)} - n_present"
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)})
+SELECT row_id, CAST({n_missing} AS INT) AS n_missing,
+       CASE WHEN {n_missing} = 0 THEN 'ready: all fields present'
+            WHEN {n_missing} = 1 THEN 'nearly ready: 1 field missing'
+            WHEN {n_missing} <= 3 THEN 'partial: a few fields missing'
+            ELSE 'not ready: most fields missing' END AS curation_summary
+FROM q
+"""
+
+
 def _q_events_ttl(d: str) -> str:
     """S6/F3 TTL-validity analogue (cache_manager.py:296-307): rows within
     24h of the latest timestamp, per type."""
@@ -446,6 +476,8 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "rolling_fp_documents": _q_rolling_fp,
     "embedding_neardup_pairs": _q_embedding_neardup,
     "neardup_dedup_documents": _q_neardup_dedup,
+    "confidence_boost_documents": _q_confidence_boost,
+    "curation_summary_documents": _q_curation_summary,
     "events_ttl_recent": _q_events_ttl,
     "events_summary": _q_events_summary,
     "lineitem_rollup": _q_lineitem_rollup,

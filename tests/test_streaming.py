@@ -1,0 +1,47 @@
+"""Structured Streaming ingest: same pipeline, micro-batch sink, exact
+results vs the batch path."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from bioanalyzer_backend_spark.datagen import synth
+from bioanalyzer_backend_spark.plans import pipeline as P
+from bioanalyzer_backend_spark.sources.catalog import LocalSnapshotTable
+from bioanalyzer_backend_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_in")
+    table, _ = synth.generate(600, seed=7)
+    pdf = pd.DataFrame(table)
+    df = spark.createDataFrame(pdf, schema=ingest.IMAGES_SCHEMA)
+    # several files => several micro-batches with maxFilesPerTrigger
+    df.repartition(6).write.parquet(str(root / "imgs"))
+    return str(root / "imgs")
+
+
+def test_stream_matches_batch(spark, stream_input, tmp_path, artifacts_dir):
+    results = LocalSnapshotTable(str(tmp_path / "results"))
+    stream = ingest.read_image_stream(spark, stream_input,
+                                      max_files_per_trigger=2)
+    q = ingest.start_quality_filter_stream(
+        stream, results, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = (results.read(spark)
+           .select("image_id", "keep", "quality_score", "scrubbed_caption")
+           .toPandas().sort_values("image_id").reset_index(drop=True))
+
+    batch_df = spark.read.parquet(stream_input)
+    want = (P.quality_filter(batch_df, with_dedup=False)
+            .select("image_id", "keep", "quality_score", "scrubbed_caption")
+            .toPandas().sort_values("image_id").reset_index(drop=True))
+
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+    # several atomic commits happened (one per micro-batch)
+    assert len(results.history()) >= 2
+    assert os.path.isdir(str(tmp_path / "ckpt"))
