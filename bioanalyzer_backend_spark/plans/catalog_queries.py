@@ -293,6 +293,39 @@ FROM q
 """
 
 
+def _q_inverted_index_top5(d: str) -> str:
+    """J3/T2 (data_processor.py:24-46): word -> matching doc ids via an
+    inverted index (explode + join), capped at 5 docs per word."""
+    toks = sqlgen.tokens_expr("text", d)
+    return f"""
+WITH e AS (SELECT doc_id, {sqlgen.explode_col('toks', 'g', d)}
+           FROM (SELECT doc_id, {toks} AS toks FROM documents)),
+q AS (SELECT * FROM (VALUES ('scan'), ('join'), ('filter'), ('shuffle'),
+                            ('window')) AS q(w)),
+m AS (SELECT q.w AS w, e.doc_id AS doc_id FROM q JOIN e ON e.g = q.w
+      GROUP BY q.w, e.doc_id),
+r AS (SELECT w, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id) AS INT)
+             AS rn
+      FROM m)
+SELECT w, doc_id, rn FROM r WHERE rn <= 5
+"""
+
+
+def _q_taxa_extract(d: str) -> str:
+    """R8 (api_utils.py:13-26): two-word term regex extract-all -> explode
+    -> distinct corpus terms with frequencies (genus-species shape; the
+    synthetic corpus is lowercase, so the head-word class stands in for
+    the capitalized genus)."""
+    matches = sqlgen.rx_extract_all_full(
+        "text", "(scan|sort|merge|window|batch) [a-z]+", d)
+    return f"""
+WITH t AS (SELECT {sqlgen.explode_col(matches, 'term', d)} FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY term ORDER BY n DESC, term LIMIT 50
+"""
+
+
 def _q_events_ttl(d: str) -> str:
     """S6/F3 TTL-validity analogue (cache_manager.py:296-307): rows within
     24h of the latest timestamp, per type."""
@@ -478,6 +511,8 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "neardup_dedup_documents": _q_neardup_dedup,
     "confidence_boost_documents": _q_confidence_boost,
     "curation_summary_documents": _q_curation_summary,
+    "inverted_index_top5": _q_inverted_index_top5,
+    "taxa_extract_documents": _q_taxa_extract,
     "events_ttl_recent": _q_events_ttl,
     "events_summary": _q_events_summary,
     "lineitem_rollup": _q_lineitem_rollup,
