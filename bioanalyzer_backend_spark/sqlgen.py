@@ -195,8 +195,14 @@ def scrub_expr(col: str, d: str) -> str:
 
 
 def fmt(x: float) -> str:
-    """Render a float constant identically for both dialects."""
-    return repr(float(x))
+    """Render a float constant as an explicit DOUBLE for both dialects.
+
+    Bare literals like ``0.5`` parse as DECIMAL in BOTH Spark and DuckDB,
+    silently switching subexpressions to decimal arithmetic — which agrees
+    with IEEE-754 doubles on most inputs but diverges at band edges (e.g.
+    0.375 * 0.3 is exact in decimal, 0.11249999999999999 in double). The
+    numpy reference oracle is double throughout, so the SQL must be too."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
 
 
 def _status_case(score: str) -> str:

@@ -1,0 +1,94 @@
+"""Property-based tests (SURVEY.md section 5.4): adversarial captions —
+unicode (emoji/CJK/RTL), control chars, nulls, repetition — must keep
+every invariant: scores in [0,1], statuses in the enum, scrub idempotent
+and PII-free, and the Spark plan must agree with the numpy oracle on a
+curated adversarial batch."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bioanalyzer_backend_spark import spec
+from bioanalyzer_backend_spark.rules import reference_impl as ri
+
+# printable-ish unicode incl. emoji/CJK/RTL planes; excludes surrogates
+CAPTION = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400)
+
+STATUSES = {spec.STATUS_PRESENT, spec.STATUS_PARTIAL, spec.STATUS_ABSENT}
+
+
+@given(CAPTION)
+@settings(max_examples=300, deadline=None)
+def test_scrub_idempotent_and_pii_free(text):
+    import re
+    once = ri.scrub(text)
+    assert ri.scrub(once) == once
+    # no PII/citation pattern still matches its own output; the final
+    # whitespace-collapse entry legitimately leaves single spaces behind
+    for pattern, repl in spec.SCRUB_CHAIN:
+        if repl == " ":
+            continue
+        assert re.search(pattern, once) is None, pattern
+
+
+@given(st.lists(CAPTION, min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_scores_bounded_statuses_in_enum(captions):
+    feats = ri.rule_features(pd.Series(captions))
+    for r in spec.RULE_NAMES:
+        s = feats[f"score_{r}"]
+        assert ((s >= 0.0) & (s <= 1.0)).all(), r
+        assert set(feats[f"status_{r}"].unique()) <= STATUSES
+    q = feats["quality_score"]
+    assert ((q >= 0.0) & (q <= 1.0 + 1e-12)).all()
+    assert feats["n_present"].between(0, len(spec.RULE_NAMES)).all()
+    assert feats["keep"].isin([True, False]).all()
+
+
+@given(CAPTION)
+@settings(max_examples=200, deadline=None)
+def test_tokenize_total(text):
+    toks = ri.tokenize(text)
+    assert all(t != "" for t in toks)
+    assert all(t == t.lower() for t in toks)
+
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "\t\r\n",
+    "n/a",
+    "NOT FOUND",
+    "🙂🙃🙂🙃 emoji only 🙂",
+    "数据质量检查的中文说明文本，包含标点。",
+    "نص عربي من اليمين إلى اليسار مع كلمات",
+    "mixed 中文 english نص with يمين all three",
+    "a" * 1000,
+    "word " * 200,
+    "x@y.zz call +1 (555) 123-4567 ssn 123-45-6789 http://e.co/x?q=1",
+    "NULL\x00byte inside",
+    "..., !!! ??? ### $$$ %%%",
+    "the the the the the the the the the the",
+    "ein kleines deutsches beispiel mit der die das und",
+]
+
+
+def test_spark_matches_oracle_on_adversarial_batch(spark):
+    from bioanalyzer_backend_spark.plans import pipeline as P
+
+    pdf = pd.DataFrame({
+        "image_id": [f"adv{i:03d}" for i in range(len(ADVERSARIAL))],
+        "caption": ADVERSARIAL,
+    })
+    df = spark.createDataFrame(pdf, "image_id string, caption string")
+    got = (P.apply_scrub(P.apply_core_rules(df))
+           .toPandas().sort_values("image_id").reset_index(drop=True))
+    feats = ri.rule_features(pdf["caption"])
+
+    for r in spec.RULE_NAMES:
+        assert (got[f"score_{r}"].values == feats[f"score_{r}"].values).all(), r
+        assert (got[f"status_{r}"].values == feats[f"status_{r}"].values).all(), r
+    assert (got["keep_core"].values == feats["keep"].values).all()
+    assert (got["scrubbed_caption"].values
+            == pdf["caption"].map(ri.scrub).values).all()
