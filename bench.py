@@ -83,9 +83,13 @@ def run_flagship(spark, images_path: str) -> tuple[float, int]:
 def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
     from bioanalyzer_backend_spark.plans.catalog_queries import registry
     heads = ("qf_core_documents", "qf_scrub_documents", "dedup_exact_documents",
-             "minhash_lsh_pairs", "ngram_jaccard_top20", "lineitem_rollup",
+             "minhash_lsh_pairs", "ngram_jaccard_top20",
+             "neardup_dedup_documents", "simhash16_documents",
+             "rolling_fp_documents", "embedding_neardup_pairs",
+             "keep_by_lang_salted", "lineitem_rollup",
              "join_orders_nation", "window_top3_per_cust", "cosine_top10",
-             "events_summary", "langid_udf_documents")
+             "ann_lsh_top10", "events_summary", "langid_udf_documents",
+             "image_stats_multimodal")
     reg = registry()
     times = {}
     for name in heads:
