@@ -61,18 +61,23 @@ def apply_scrub(df: DataFrame, text_col: str = "caption",
 
 def apply_langid_ppl(df: DataFrame, artifact_dir: str | None = None,
                      text_col: str = "caption") -> DataFrame:
-    """Arrow-batched langid + perplexity over the truncated caption."""
-    from ..functions import langid, perplexity
+    """Arrow-batched langid + perplexity over the truncated caption.
+
+    One FUSED pandas UDF (functions/gates.py): a single Arrow transfer
+    and one batch pass evaluate both models."""
+    from ..functions import gates
 
     artifact_dir = artifact_dir or DEFAULT_ARTIFACT_DIR
-    lang_udf = langid.make_pandas_udf(os.path.join(artifact_dir, "langid.npz"))
-    ppl_udf = perplexity.make_pandas_udf(os.path.join(artifact_dir, "lm.npz"))
+    gate_udf = gates.make_pandas_udf(
+        os.path.join(artifact_dir, "langid.npz"),
+        os.path.join(artifact_dir, "lm.npz"))
     trunc = F.substring(F.col(text_col), 1, spec.TRUNCATE_CHARS)
-    df = df.withColumn("_lid", lang_udf(trunc)).withColumn("ppl", ppl_udf(trunc))
+    df = df.withColumn("_g", gate_udf(trunc))
     return (df
-            .withColumn("lang", F.col("_lid.lang"))
-            .withColumn("lang_conf", F.col("_lid.lang_conf"))
-            .drop("_lid"))
+            .withColumn("lang", F.col("_g.lang"))
+            .withColumn("lang_conf", F.col("_g.lang_conf"))
+            .withColumn("ppl", F.col("_g.ppl"))
+            .drop("_g"))
 
 
 def apply_final_keep(df: DataFrame) -> DataFrame:
