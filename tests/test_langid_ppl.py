@@ -47,3 +47,33 @@ def test_empty_inputs():
     pred, conf = langid.predict_batch(["", None, "ab"], logp, langs)
     assert pred[0] == langid.UNKNOWN
     assert conf[0] == 0.0
+
+
+def test_fused_gates_equals_split_udfs(spark, artifacts_dir):
+    """functions/gates.py must agree with the standalone UDFs exactly."""
+    import os
+
+    import pandas as pd
+
+    from bioanalyzer_backend_spark.functions import gates, langid, perplexity
+
+    texts = ["the quick brown fox", "el rapido zorro marron", "",
+             "!!! ### $$$", "数据 质量", "mixed text with la de en words"]
+    pdf = pd.DataFrame({"id": range(len(texts)), "caption": texts})
+    df = spark.createDataFrame(pdf, "id long, caption string")
+    lp = os.path.join(artifacts_dir, "langid.npz")
+    pp = os.path.join(artifacts_dir, "lm.npz")
+    g = gates.make_pandas_udf(lp, pp)
+    lu = langid.make_pandas_udf(lp)
+    pu = perplexity.make_pandas_udf(pp)
+    from pyspark.sql import functions as F
+    got = (df.withColumn("_g", g(F.col("caption")))
+           .withColumn("_l", lu(F.col("caption")))
+           .withColumn("_p", pu(F.col("caption")))
+           .selectExpr("id", "_g.lang AS gl", "_l.lang AS ll",
+                       "_g.lang_conf AS gc", "_l.lang_conf AS lc",
+                       "_g.ppl AS gp", "_p AS pp")
+           .toPandas().sort_values("id"))
+    assert (got.gl == got.ll).all()
+    assert (got.gc == got.lc).all()
+    assert (got.gp == got.pp).all()
