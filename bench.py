@@ -128,12 +128,14 @@ def main_flagship_only(cpus: int) -> None:
     images_path = _images_path(N_SCALING)
     spark = _build(cpus)
     try:
-        sec, n = run_flagship(spark, images_path)
-        # run twice, keep the second (JIT/codegen warm) — conservative
-        sec2, _ = run_flagship(spark, images_path)
+        # untimed warmup: JIT/codegen + OS page cache for the corpus
+        # (parquet count() reads only metadata, so without this the first
+        # timed run pays the cold disk read)
+        _, n = run_flagship(spark, images_path)
+        times = [run_flagship(spark, images_path)[0] for _ in range(3)]
     finally:
         spark.stop()
-    best = min(sec, sec2)
+    best = min(times)
     print(json.dumps({"cpus": cpus, "sec": round(best, 3), "n": n,
                       "images_per_sec": round(n / best, 1)}))
 

@@ -98,18 +98,30 @@ def apply_dedup_flag(df: DataFrame, key: str = "phash",
     from ``groupBy(phash).min(id)`` over a two-column projection — an
     algebraic aggregate with map-side partial combine, so a hot phash
     (mass-duplicated image) reduces to one row per map task instead of
-    concentrating every duplicate row in a single window reducer. The
-    tiny (id, is_dup) frame joins back on the unique id (AQE broadcasts
-    it when it fits; skewJoin splits it otherwise). At warehouse scale
-    the input is bucketed by bucket(phash, N), making the agg
-    shuffle-free.
+    concentrating every duplicate row in a single window reducer. At
+    warehouse scale the input is bucketed by bucket(phash, N), making the
+    agg shuffle-free and the probe a bucket-local join; a duplicate-group
+    frame too big to broadcast means dropping the hint and letting AQE
+    plan the (still bytes-free, phash-bucketed) join.
+
+    Only rows inside multi-row phash groups can be duplicates (a few % of
+    a crawl), so only THOSE groups' (phash, canonical_id) pairs are
+    broadcast, and they join the main frame directly on phash — one
+    sub-job (agg -> filter -> broadcast), one probe, zero join-backs on
+    id. is_dup falls out as ``id != canonical`` on the probe side, so no
+    second pass over the input exists at all.
     """
     slim = df.select(id_col, key)
-    canon = slim.groupBy(key).agg(F.min(id_col).alias("_canon_id"))
-    flags = (slim.join(canon, key)
-             .select(id_col,
-                     (F.col(id_col) != F.col("_canon_id")).alias("is_dup")))
-    return df.join(flags, id_col, "left")
+    dup_groups = (slim.groupBy(key)
+                  .agg(F.min(id_col).alias("_canon"), F.count("*").alias("_n"))
+                  .where(F.col("_n") > 1)
+                  .select(key, "_canon"))
+    out = df.join(F.broadcast(dup_groups), key, "left")
+    return (out
+            .withColumn("is_dup",
+                        F.col("_canon").isNotNull()
+                        & (F.col(id_col) != F.col("_canon")))
+            .drop("_canon"))
 
 
 def quality_filter(df: DataFrame, artifact_dir: str | None = None,
