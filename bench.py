@@ -88,7 +88,8 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              "rolling_fp_documents", "embedding_neardup_pairs",
              "keep_by_lang_salted", "lineitem_rollup",
              "join_orders_nation", "window_top3_per_cust", "cosine_top10",
-             "ann_lsh_top10", "events_summary", "langid_udf_documents",
+             "ann_lsh_top10", "ann_ivf_top10", "audit_grouping_sets",
+             "events_summary", "langid_udf_documents",
              "image_stats_multimodal")
     reg = registry()
     times = {}

@@ -1,11 +1,14 @@
 """Similarity search over an embedding column (array<float>).
 
 Baseline: brute-force cosine top-k, fully native (zip_with + aggregate —
-JVM-side, whole-stage codegen). Scale path: sign-LSH bucketing — a fixed
-seeded hyperplane matrix hashes every vector to a bit signature inside one
-Arrow-batched matmul; the query probes only buckets within a Hamming
-radius, cutting candidates by ~2^planes/sum(C(planes,<=r)) before the
-exact re-rank.
+JVM-side, whole-stage codegen). Scale paths: (a) sign-LSH bucketing — a
+fixed seeded hyperplane matrix hashes every vector to a bit signature
+inside one Arrow-batched matmul; the query probes only buckets within a
+Hamming radius, cutting candidates by ~2^planes/sum(C(planes,<=r)) before
+the exact re-rank; (b) IVF — a sample-trained spherical k-means coarse
+quantizer assigns every vector to a centroid list, and a query probes only
+the n_probe nearest lists (list id doubles as a partition column at
+warehouse scale, turning the probe into partition pruning).
 """
 
 from __future__ import annotations
@@ -75,6 +78,73 @@ def lsh_cosine_topk(df: DataFrame, query_vec, k: int = 10,
     xor = F.col("lsh_bucket").bitwiseXOR(F.lit(qbits))
     hamming = F.bit_count(xor)
     cand = bucketed.where(hamming <= F.lit(hamming_radius))
+    return cosine_topk(cand, q.tolist(), k, vec_col, id_col)
+
+
+def ivf_train_centroids(df: DataFrame, n_centroids: int = 16,
+                        sample_n: int = 2048, iters: int = 10,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id", seed: int = 131) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: spherical k-means on a
+    bounded, id-ordered sample (standard IVF practice — the quantizer
+    trains on a sample, never the full corpus, so the collect is O(sample)
+    regardless of table size). Seeded init + fixed iteration count keeps
+    the index reproducible across runs/retries."""
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_n).collect())
+    mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def with_ivf_list(df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Append ivf_list = argmax-cosine centroid id. One matmul per Arrow
+    batch against the broadcast centroid matrix (executor-side numpy)."""
+    cent = centroids.copy()
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if mat.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_list", _assign(F.col(vec_col)))
+
+
+def ivf_cosine_topk(df: DataFrame, query_vec, k: int = 10,
+                    centroids: np.ndarray | None = None,
+                    n_centroids: int = 16, n_probe: int = 4,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: partition vectors into centroid lists, probe only the
+    n_probe lists nearest the query, exact cosine re-rank on survivors.
+
+    Scale path vs the LSH variant: at warehouse scale ivf_list is a
+    partition column of the embedding table, so a probe reads n_probe
+    partitions (partition pruning via the IN filter below) instead of the
+    full corpus; n_probe == n_centroids degenerates to exact brute force
+    (tested invariant)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, n_centroids,
+                                        vec_col=vec_col, id_col=id_col)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    listed = with_ivf_list(df, centroids, vec_col)
+    cand = listed.where(F.col("ivf_list").isin([int(p) for p in probe]))
     return cosine_topk(cand, q.tolist(), k, vec_col, id_col)
 
 

@@ -293,6 +293,25 @@ FROM q
 """
 
 
+def _q_audit_grouping_sets(d: str) -> str:
+    """A8 audit rollup at three grains in one pass: GROUPING SETS over
+    (lang, verdict) / (lang) / () — the keep-rate-by-language audit query
+    plus its subtotals and grand total without three scans (SURVEY.md
+    section 2.4). Null group keys from the rollup are renamed '<all>'
+    (data langs are non-null, so no conflation)."""
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)}),
+j AS (SELECT dd.lang AS lang,
+             CASE WHEN q.keep THEN 'keep' ELSE 'drop' END AS verdict
+      FROM q JOIN documents dd ON q.row_id = dd.doc_id)
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(verdict, '<all>') AS verdict,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM j
+GROUP BY GROUPING SETS ((lang, verdict), (lang), ())
+"""
+
+
 def _q_inverted_index_top5(d: str) -> str:
     """J3/T2 (data_processor.py:24-46): word -> matching doc ids via an
     inverted index (explode + join), capped at 5 docs per word."""
@@ -511,6 +530,7 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "neardup_dedup_documents": _q_neardup_dedup,
     "confidence_boost_documents": _q_confidence_boost,
     "curation_summary_documents": _q_curation_summary,
+    "audit_grouping_sets": _q_audit_grouping_sets,
     "inverted_index_top5": _q_inverted_index_top5,
     "taxa_extract_documents": _q_taxa_extract,
     "events_ttl_recent": _q_events_ttl,
@@ -586,6 +606,20 @@ def _q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where("vec_id != 0"), q, k=10, n_planes=16, hamming_radius=4)
 
 
+def _q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (b): IVF — sample-trained coarse quantizer, probe
+    the 4 nearest of 16 centroid lists, exact cosine re-rank on survivors
+    (operators/similarity.py ivf_cosine_topk)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_cosine_topk(
+        emb.where("vec_id != 0"), q, k=10, n_centroids=16, n_probe=4)
+
+
 def _q_simhash_pairs_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates over synthetic captions: 64-bit pandas-UDF
     signatures, 16-bit block bucketing (Hamming<=3 guaranteed by pigeonhole),
@@ -648,6 +682,7 @@ _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_full_images": _q_full_pipeline_images,
     "langid_udf_documents": _q_langid_udf_documents,
     "ann_lsh_top10": _q_ann_lsh_top10,
+    "ann_ivf_top10": _q_ann_ivf_top10,
     "simhash_pairs_images": _q_simhash_pairs_images,
     "image_stats_multimodal": _q_image_stats,
     "resize_thumbs_multimodal": _q_resize_thumbs,

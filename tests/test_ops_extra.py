@@ -148,6 +148,39 @@ def test_lsh_topk_pruned_finds_neardup(spark, emb_df):
     assert rows and rows[0].vec_id == 5       # near-dup shares the bucket
 
 
+def test_ivf_topk_full_probe_equals_bruteforce(spark, emb_df):
+    df, vecs = emb_df
+    q = vecs[0].tolist()
+    brute = [r.vec_id for r in
+             similarity.cosine_topk(df.where("vec_id != 0"), q, 5).collect()]
+    ivf_all = [r.vec_id for r in similarity.ivf_cosine_topk(
+        df.where("vec_id != 0"), q, k=5, n_centroids=8,
+        n_probe=8).collect()]
+    assert ivf_all == brute                   # probe-all => exact
+
+
+def test_ivf_topk_pruned_finds_neardup(spark, emb_df):
+    df, vecs = emb_df
+    got = similarity.ivf_cosine_topk(
+        df.where("vec_id != 0"), vecs[0].tolist(), k=5,
+        n_centroids=8, n_probe=2)
+    rows = got.collect()
+    # the planted near-dup of vec 0 lands in vec 0's own centroid list,
+    # which is always the first list probed
+    assert rows and rows[0].vec_id == 5
+    brute = [r.vec_id for r in similarity.cosine_topk(
+        df.where("vec_id != 0"), vecs[0].tolist(), 5).collect()]
+    recall = len(set(r.vec_id for r in rows) & set(brute)) / 5
+    assert recall >= 0.4                      # pruned probe keeps most of top-5
+
+
+def test_ivf_centroids_deterministic(spark, emb_df):
+    df, _ = emb_df
+    c1 = similarity.ivf_train_centroids(df, n_centroids=8)
+    c2 = similarity.ivf_train_centroids(df, n_centroids=8)
+    assert np.array_equal(c1, c2)
+
+
 def test_embedding_neardup_pairs_finds_planted(spark, emb_df):
     df, _ = emb_df
     pairs = similarity.embedding_neardup_pairs(df, dim=16, threshold=0.95)
