@@ -561,14 +561,18 @@ _SYNTH_ROWS = 2000
 
 
 def _synth_df(spark: SparkSession):
-    import pandas as pd
+    """Deterministic synthetic image+caption table as a distributed parquet
+    scan (generate-once cache). A driver-local createDataFrame would ship
+    the binary column inside task payloads — exactly what breaks at scale —
+    so the bytes come off a file scan like any real input."""
+    import os
 
     from ..datagen import synth
-    table, _ = synth.generate(_SYNTH_ROWS, seed=42)
-    pdf = pd.DataFrame(table)
-    return spark.createDataFrame(pdf, schema=(
-        "image_id string, bytes binary, w int, h int, fmt string, "
-        "caption string, phash long"))
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), os.pardir, ".bench_cache")
+    path = synth.write_images_parquet(os.path.abspath(cache), _SYNTH_ROWS)
+    return spark.read.parquet(path).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 
 def _q_full_pipeline_images(spark: SparkSession, sf_dir: str) -> DataFrame:
