@@ -58,3 +58,46 @@ def test_partitioned_sink_by_keep_lang(spark, synth_images_df, tmp_path):
     # partition pruning: reading one keep= branch scans only that subtree
     kept = spark.read.parquet(path).where(F.col("keep") == True)  # noqa: E712
     assert kept.count() == out.where("keep").count()
+
+
+def test_xml_sink_roundtrip(spark, synth_images_df, tmp_path):
+    # K3: XML emitter (cli.py:651-695) — native-expression element strings
+    import xml.etree.ElementTree as ET
+
+    from bioanalyzer_backend_spark.plans import sinks
+
+    out = _result(spark, synth_images_df).select(
+        "image_id", "keep", "quality_score", "scrubbed_caption")
+    path = str(tmp_path / "xml")
+    sinks.write_xml(out, path, row_tag="paper")
+
+    lines = []
+    for f in glob.glob(path + "/part-*"):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == out.count()
+    # every line parses standalone and fields round-trip (incl. CDATA text)
+    want = {r["image_id"]: r for r in
+            (row.asDict() for row in out.collect())}
+    for ln in lines:
+        el = ET.fromstring(ln)
+        assert el.tag == "paper"
+        w = want[el.find("image_id").text]
+        assert el.find("scrubbed_caption").text == (
+            w["scrubbed_caption"] if w["scrubbed_caption"] != "" else None)
+        assert el.find("keep").text == str(w["keep"]).lower()
+
+
+def test_xml_escaping_adversarial(spark):
+    import xml.etree.ElementTree as ET
+
+    from bioanalyzer_backend_spark.plans import sinks
+
+    evil = 'a <b> & "c" ]]> done'
+    df = spark.createDataFrame(
+        [("x1", evil, evil)], "image_id string, free string, cap string")
+    rooted = sinks.rooted_xml_string(df, cdata_cols=("cap",))
+    root = ET.fromstring(rooted)
+    el = root.find("record")
+    assert el.find("free").text == evil      # escaped path round-trips
+    assert el.find("cap").text == evil       # split-CDATA path round-trips
