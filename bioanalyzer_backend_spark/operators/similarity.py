@@ -152,17 +152,19 @@ def embedding_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                             n_planes: int = 12, vec_col: str = "embedding",
                             id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-dup: same-bucket candidate pairs -> exact
-    cosine >= threshold. Bucket join keeps the pair space tractable."""
-    b = with_lsh_bucket(df, dim, n_planes, vec_col)
+    cosine >= threshold. Bucket join keeps the pair space tractable; each
+    vector's norm is computed once BEFORE the join, so per-pair work is a
+    single dot product rather than three."""
+    b = (with_lsh_bucket(df, dim, n_planes, vec_col)
+         .withColumn("nrm", F.expr(f"SQRT({_dot_expr(vec_col, vec_col)})")))
     a, c = b.alias("a"), b.alias("b")
     pairs = (a.join(c, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"),
                      F.col(f"a.{vec_col}").alias("va"),
-                     F.col(f"b.{vec_col}").alias("vb")))
+                     F.col(f"b.{vec_col}").alias("vb"),
+                     (F.col("a.nrm") * F.col("b.nrm")).alias("nn")))
     scored = pairs.selectExpr(
-        "id_a", "id_b",
-        f"{_dot_expr('va', 'vb')} / (SQRT({_dot_expr('va', 'va')}) * "
-        f"SQRT({_dot_expr('vb', 'vb')})) AS cos_sim")
+        "id_a", "id_b", f"{_dot_expr('va', 'vb')} / nn AS cos_sim")
     return scored.where(F.col("cos_sim") >= threshold)

@@ -224,12 +224,14 @@ def _q_embedding_neardup(d: str) -> str:
         f"CASE WHEN {sqlgen.arr_get('embedding', str(j + 1), d)} > 0 "
         f"THEN {1 << j} ELSE 0 END" for j in range(8))
     dot_ab = _dot("a.embedding", "b.embedding", d)
-    dot_aa = _dot("a.embedding", "a.embedding", d)
-    dot_bb = _dot("b.embedding", "b.embedding", d)
+    dot_self = _dot("embedding", "embedding", d)
+    # norm computed ONCE per vector before the join — per-pair work is a
+    # single dot product, not three (O(pairs*dim) saved)
     return f"""
-WITH e AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bkt FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bkt,
+                  SQRT({dot_self}) AS nrm FROM embeddings),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND({dot_ab} / (SQRT({dot_aa}) * SQRT({dot_bb})), 5) AS cos_sim
+             ROUND({dot_ab} / (a.nrm * b.nrm), 5) AS cos_sim
       FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.15
 ORDER BY cos_sim DESC, id_a, id_b
@@ -488,17 +490,20 @@ def _dot(a: str, b: str, d: str) -> str:
 
 
 def _q_cosine_topk(d: str) -> str:
-    """Similarity search: brute-force cosine top-10 vs anchor vec_id=0."""
+    """Similarity search: brute-force cosine top-10 vs anchor vec_id=0.
+    The query vector's norm is computed once in the (broadcast) single-row
+    CTE, so the per-row work is one dot product + one self-norm."""
     dot_ab = _dot("a.embedding", "q.qe", d)
     dot_aa = _dot("a.embedding", "a.embedding", d)
-    dot_qq = _dot("q.qe", "q.qe", d)
+    dot_qq = _dot("embedding", "embedding", d)
     return f"""
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+WITH q AS (SELECT embedding AS qe, SQRT({dot_qq}) AS qn
+           FROM embeddings WHERE vec_id = 0),
 s AS (SELECT a.vec_id,
-             {dot_ab} AS dp, {dot_aa} AS na, {dot_qq} AS nq
+             {dot_ab} AS dp, {dot_aa} AS na, q.qn AS qn
       FROM embeddings a, q WHERE a.vec_id != 0)
-SELECT vec_id, ROUND(dp / (SQRT(na) * SQRT(nq)), 5) AS cos_sim
-FROM s ORDER BY ROUND(dp / (SQRT(na) * SQRT(nq)), 5) DESC, vec_id LIMIT 10
+SELECT vec_id, ROUND(dp / (SQRT(na) * qn), 5) AS cos_sim
+FROM s ORDER BY ROUND(dp / (SQRT(na) * qn), 5) DESC, vec_id LIMIT 10
 """
 
 
