@@ -120,6 +120,46 @@ class LocalSnapshotTable:
             return None
         return spark.read.parquet(*snap["files"])
 
+    def compact(self, spark: SparkSession, target_files: int = 8) -> str:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analogue).
+
+        Streaming micro-batch appends and per-partition audit writes leave
+        a long tail of small files; at warehouse scale that tail dominates
+        scan planning time. Rewrites the current snapshot into
+        ``target_files`` files and commits the new list atomically —
+        readers see either the old file set or the new one, never a mix.
+        Old files stay on disk for time-travel until expired."""
+        cur_df = self.read(spark)
+        if cur_df is None:
+            return self._commit([], None, "compact")
+        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        cur_df.repartition(target_files).write.mode("overwrite") \
+            .parquet(batch_dir)
+        new_files = [os.path.join(batch_dir, f)
+                     for f in os.listdir(batch_dir) if f.endswith(".parquet")]
+        cur = self.current_snapshot()
+        return self._commit(new_files, cur["snapshot"], "compact")
+
+    def expire_snapshots(self, keep: int = 1) -> int:
+        """Delete data files referenced ONLY by snapshots older than the
+        ``keep`` most recent (Iceberg ``expire_snapshots`` analogue).
+        Returns the number of files deleted."""
+        chain = self.history()
+        keep_snaps = chain[:keep]
+        live: set[str] = set()
+        for name in keep_snaps:
+            with open(os.path.join(self.meta_dir, name)) as f:
+                live.update(json.load(f)["files"])
+        gone: set[str] = set()
+        for name in chain[keep:]:
+            with open(os.path.join(self.meta_dir, name)) as f:
+                for path in json.load(f)["files"]:
+                    if path not in live and path not in gone \
+                            and os.path.exists(path):
+                        os.remove(path)
+                        gone.add(path)
+        return len(gone)
+
 
 class IcebergTable:
     """Same interface over a real Iceberg catalog (needs

@@ -1,0 +1,46 @@
+"""Snapshot-table compaction + snapshot expiry (small-file management)."""
+
+import glob
+
+from bioanalyzer_backend_spark.sources.catalog import LocalSnapshotTable
+
+
+def _parquet_files(tbl):
+    return glob.glob(tbl.data_dir + "/*/*.parquet")
+
+
+def test_compact_preserves_data_and_shrinks_files(spark, tmp_path):
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    for i in range(5):   # streaming-style small appends
+        tbl.append(spark.range(i * 100, (i + 1) * 100)
+                   .repartition(4).withColumnRenamed("id", "k"))
+    before_files = len(tbl.current_snapshot()["files"])
+    assert before_files >= 20
+
+    want = tbl.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    tbl.compact(spark, target_files=2)
+    snap = tbl.current_snapshot()
+    assert snap["operation"] == "compact"
+    assert len(snap["files"]) <= 2
+
+    got = tbl.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    assert got.equals(want)
+    # history chain intact: compact -> 5 appends
+    assert len(tbl.history()) == 6
+
+
+def test_expire_snapshots_removes_only_dead_files(spark, tmp_path):
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    for i in range(3):
+        tbl.append(spark.range(100).repartition(2).withColumnRenamed("id", "k"))
+    tbl.compact(spark, target_files=1)
+
+    live_files = set(tbl.current_snapshot()["files"])
+    n_deleted = tbl.expire_snapshots(keep=1)
+    assert n_deleted > 0
+    # current snapshot still fully readable
+    assert tbl.read(spark).count() == 300
+    remaining = set(_parquet_files(tbl))
+    assert live_files <= remaining
+    # every pre-compaction file is gone
+    assert remaining == live_files
