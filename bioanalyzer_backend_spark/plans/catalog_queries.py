@@ -314,6 +314,41 @@ GROUP BY GROUPING SETS ((lang, verdict), (lang), ())
 """
 
 
+def _q_zscore_quality_by_lang(d: str) -> str:
+    """Window AGGREGATES (beyond row_number): per-language z-score
+    calibration of the document quality score — the vectorized analogue of
+    normalizing rule confidences per cohort. AVG/STDDEV window over the
+    lang partition; constant-score languages yield NULL (NULLIF guard,
+    ANSI-safe)."""
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)}),
+j AS (SELECT q.row_id, dd.lang AS lang, q.quality_score AS qs
+      FROM q JOIN documents dd ON q.row_id = dd.doc_id)
+SELECT row_id, lang,
+       ROUND((qs - AVG(qs) OVER (PARTITION BY lang))
+             / NULLIF(STDDEV_SAMP(qs) OVER (PARTITION BY lang),
+                      CAST(0.0 AS DOUBLE)), 5) AS qs_z
+FROM j
+"""
+
+
+def _q_stats_by_lang(d: str) -> str:
+    """Statistical aggregates per language: exact interpolated MEDIAN of
+    the quality score and the CORR between rules-present count and score
+    (A9-style batch summary, one pass)."""
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)}),
+j AS (SELECT dd.lang AS lang, q.quality_score AS qs,
+             CAST(q.n_present AS DOUBLE) AS np
+      FROM q JOIN documents dd ON q.row_id = dd.doc_id)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MEDIAN(qs), 5) AS median_qs,
+       ROUND(CORR(np, qs), 5) AS corr_present_qs
+FROM j GROUP BY lang
+"""
+
+
 def _q_inverted_index_top5(d: str) -> str:
     """J3/T2 (data_processor.py:24-46): word -> matching doc ids via an
     inverted index (explode + join), capped at 5 docs per word."""
@@ -535,6 +570,8 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "neardup_dedup_documents": _q_neardup_dedup,
     "confidence_boost_documents": _q_confidence_boost,
     "curation_summary_documents": _q_curation_summary,
+    "zscore_quality_by_lang": _q_zscore_quality_by_lang,
+    "stats_by_lang": _q_stats_by_lang,
     "audit_grouping_sets": _q_audit_grouping_sets,
     "inverted_index_top5": _q_inverted_index_top5,
     "taxa_extract_documents": _q_taxa_extract,
