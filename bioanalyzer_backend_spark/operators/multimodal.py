@@ -96,6 +96,59 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             .mapInPandas(gen, schema=RESIZED_SCHEMA))
 
 
+DUP_VERIFY_SCHEMA = ("phash long, image_id string, canonical_id string, "
+                     "psnr_db double, pixel_dup boolean")
+
+
+def verify_dup_groups(df: DataFrame, psnr_min: float = 40.0) -> DataFrame:
+    """Pixel-level verification of phash dup groups via grouped-map
+    ``applyInPandas`` — a phash collision is only a CANDIDATE duplicate;
+    the keep/drop decision needs the decoded-pixel invariant
+    (PSNR >= ``psnr_min``, BASELINE input_hint) against the group's min-id
+    canonical.
+
+    Binary-column hygiene note: this is the one operator that must
+    co-locate image bytes by key, so it shuffles bytes — but only for
+    rows inside multi-member phash groups (the broadcast semi-join below
+    prunes singletons first, i.e. a few % of a crawl), never the full
+    table. Undecodable members surface as psnr_db NULL / pixel_dup false
+    (error-row semantics, F6)."""
+    import pyspark.sql.functions as F
+
+    slim = df.select("phash", "image_id", "bytes", "fmt")
+    multi = (slim.groupBy("phash").agg(F.count("*").alias("_n"))
+             .where(F.col("_n") > 1).select("phash"))
+    cand = slim.join(F.broadcast(multi), "phash")
+
+    def gp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id").reset_index(drop=True)
+        decoded = []
+        for blob, fmt in zip(pdf["bytes"], pdf["fmt"]):
+            try:
+                decoded.append(imgcodec.decode(bytes(blob), fmt))
+            except Exception:
+                decoded.append(None)
+        canon_id = pdf["image_id"].iloc[0]
+        canon_px = decoded[0]
+        out = {"phash": pdf["phash"], "image_id": pdf["image_id"],
+               "canonical_id": canon_id, "psnr_db": [], "pixel_dup": []}
+        for i, px in enumerate(decoded):
+            if i == 0:
+                out["psnr_db"].append(float("inf"))
+                out["pixel_dup"].append(True)
+            elif px is None or canon_px is None \
+                    or px.shape != canon_px.shape:
+                out["psnr_db"].append(None)
+                out["pixel_dup"].append(False)
+            else:
+                p = imgcodec.psnr(canon_px, px)
+                out["psnr_db"].append(p)
+                out["pixel_dup"].append(bool(p >= psnr_min))
+        return pd.DataFrame(out)
+
+    return cand.groupBy("phash").applyInPandas(gp, schema=DUP_VERIFY_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # stubs — schema-complete, deliberately unimplemented in this sandbox
 # --------------------------------------------------------------------------

@@ -698,6 +698,20 @@ def _q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("bytes").alias("n_bytes"))
 
 
+def _q_dup_pixel_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: pixel-level PSNR verification of phash
+    dup groups vs min-id canonical (operators/multimodal.py). psnr_db is
+    finite-ized for the driver's hash (inf -> 999.0)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal
+    out = multimodal.verify_dup_groups(_synth_df(spark))
+    fin = F.when(F.col("psnr_db") == float("inf"), F.lit(999.0)) \
+        .otherwise(F.round("psnr_db", 3))
+    return out.select("phash", "image_id", "canonical_id",
+                      fin.alias("psnr_db"), "pixel_dup")
+
+
 def _q_keep_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defused twin of qf_keep_by_lang: the hot-language groupBy runs
     as a two-phase salted aggregation (operators/skew.py) — same result,
@@ -732,6 +746,7 @@ _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs_images": _q_simhash_pairs_images,
     "image_stats_multimodal": _q_image_stats,
     "resize_thumbs_multimodal": _q_resize_thumbs,
+    "dup_pixel_verify_images": _q_dup_pixel_verify,
 }
 
 

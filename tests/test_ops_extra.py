@@ -227,3 +227,35 @@ def test_audio_video_stubs_raise(spark, synth_images_df):
         multimodal.audio_features(synth_images_df)
     with pytest.raises(NotImplementedError):
         multimodal.video_frame_sample(synth_images_df)
+
+
+def test_verify_dup_groups_pixel_level(spark):
+    """applyInPandas grouped-map: phash collisions are verified at pixel
+    level — identical pixels pass, colliders and corrupt rows fail."""
+    import numpy as np
+
+    from bioanalyzer_backend_spark.datagen import imgcodec
+    from bioanalyzer_backend_spark.operators import multimodal
+
+    rng = np.random.default_rng(5)
+    px_a = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    px_b = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)   # collider
+    rows = [
+        ("i0", imgcodec.encode_bmp(px_a), "bmp", 42),   # canonical
+        ("i1", imgcodec.encode_bmp(px_a), "bmp", 42),   # true dup
+        ("i2", imgcodec.encode_bmp(px_b), "bmp", 42),   # phash collision
+        ("i3", b"garbage", "bmp", 42),                  # undecodable
+        ("i4", imgcodec.encode_bmp(px_b), "bmp", 99),   # singleton group
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, phash long")
+    got = {r["image_id"]: r for r in
+           multimodal.verify_dup_groups(df).collect()}
+
+    assert set(got) == {"i0", "i1", "i2", "i3"}   # singleton pruned
+    assert got["i0"]["pixel_dup"] and got["i0"]["canonical_id"] == "i0"
+    assert got["i1"]["pixel_dup"] and got["i1"]["psnr_db"] == float("inf")
+    assert not got["i2"]["pixel_dup"]            # collider rejected
+    assert got["i2"]["psnr_db"] < 40.0
+    assert not got["i3"]["pixel_dup"]            # error-row semantics
+    assert got["i3"]["psnr_db"] is None
