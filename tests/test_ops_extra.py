@@ -259,3 +259,34 @@ def test_verify_dup_groups_pixel_level(spark):
     assert got["i2"]["psnr_db"] < 40.0
     assert not got["i3"]["pixel_dup"]            # error-row semantics
     assert got["i3"]["psnr_db"] is None
+
+
+def test_minhash_mega_bucket_cap(spark):
+    """A boilerplate caption repeated m times would contribute ~m^2/2
+    candidate pairs; cap_buckets skips the hot bucket and REPORTS it,
+    while unrelated small groups keep their candidates."""
+    from bioanalyzer_backend_spark.operators import dedup
+
+    boiler = [(f"h{i:03d}", "click here to download the full image now")
+              for i in range(50)]
+    pair = [("p0", "a quiet river bends through the green valley"),
+            ("p1", "a quiet river bends through the green valley")]
+    df = spark.createDataFrame(boiler + pair, "image_id string, caption string")
+
+    uncapped = dedup.minhash_lsh_candidates(df)
+    capped = dedup.minhash_lsh_candidates(df, max_bucket=10)
+    got_u = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    got_c = {(r.id_a, r.id_b) for r in capped.collect()}
+
+    assert ("p0", "p1") in got_u and ("p0", "p1") in got_c
+    assert len(got_u) >= 50 * 49 // 2          # hot bucket exploded
+    assert got_c == {("p0", "p1")}             # hot bucket skipped
+
+    # the dropped-bucket report is explicit (no silent caps)
+    sig = spark.createDataFrame(
+        [("x", 0, "k")] * 20 + [("y", 0, "k2")],
+        "_id string, band int, sig string")
+    kept, hot = dedup.cap_buckets(sig, ["band", "sig"], 10)
+    assert kept.count() == 1
+    h = hot.collect()[0]
+    assert (h.band, h.sig, h.bucket_n) == (0, "k", 20)
