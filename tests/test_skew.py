@@ -53,3 +53,44 @@ def test_salted_agg_result_columns_stable(spark):
                               id_col="rid")
     assert out.columns == ["lang", "n"]
     assert skew.SALT_COL not in out.columns
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew-join splitting (SURVEY.md section 4) actually
+    fires: a sort-merge join with one hot key shows skew=true in the
+    final adaptive plan under split-friendly thresholds."""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled")}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set("spark.sql.adaptive.skewJoin."
+                 "skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        from pyspark.sql import functions as F
+        left = spark.range(40000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id") % 50)).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+        right = spark.createDataFrame(
+            [("hot", 1)] + [(f"k{i}", i) for i in range(50)],
+            "k string, dim int").repartition(4)
+
+        joined = left.join(right, "k")
+        # collect() drives THIS DataFrame's own query execution, so its
+        # adaptive plan is finalized (count()/writers spawn separate ones)
+        assert len(joined.collect()) == 40000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan        # AQE split the hot partition
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
