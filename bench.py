@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".bench_cache")
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "100000"))
+# Default sized so fixed overheads (session + UDF worker spin-up, cold
+# page-cache read) amortize: at 100k rows local[32] reports ~25k img/s,
+# at 600k the same job reports its steady-state ~55k img/s. Shares the
+# generate-once cache with the scaling corpus.
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "600000"))
 # Scaling evidence needs runs long enough that fixed overheads (session
 # spin-up, Python UDF worker launch) amortize — use a larger corpus.
 N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "600000"))
