@@ -92,3 +92,48 @@ def test_spark_matches_oracle_on_adversarial_batch(spark):
     assert (got["keep_core"].values == feats["keep"].values).all()
     assert (got["scrubbed_caption"].values
             == pdf["caption"].map(ri.scrub).values).all()
+
+
+def test_spark_matches_oracle_on_random_unicode_batch(spark):
+    """Differential fuzz: 400 seeded random captions spanning ASCII,
+    Latin-1, CJK, Arabic, emoji and control chars — one Spark batch must
+    match the numpy oracle bit-for-bit on every rule column."""
+    import random
+
+    from bioanalyzer_backend_spark.plans import pipeline as P
+
+    rng = random.Random(20260817)
+    planes = [
+        (0x20, 0x7E),        # ASCII
+        (0xA0, 0xFF),        # Latin-1
+        (0x4E00, 0x4FFF),    # CJK
+        (0x600, 0x6FF),      # Arabic
+        (0x1F600, 0x1F64F),  # emoji
+        (0x9, 0xD),          # tab/newline/CR
+    ]
+
+    def rand_caption():
+        n = rng.randint(0, 120)
+        chars = []
+        for _ in range(n):
+            lo, hi = planes[rng.randrange(len(planes))]
+            chars.append(chr(rng.randint(lo, hi)))
+            if rng.random() < 0.3:
+                chars.append(" ")
+        return "".join(chars)
+
+    caps = [rand_caption() for _ in range(400)]
+    pdf = pd.DataFrame({"image_id": [f"fz{i:04d}" for i in range(len(caps))],
+                        "caption": caps})
+    df = spark.createDataFrame(pdf, "image_id string, caption string")
+    got = (P.apply_scrub(P.apply_core_rules(df))
+           .toPandas().sort_values("image_id").reset_index(drop=True))
+    feats = ri.rule_features(pdf["caption"])
+
+    for r in spec.RULE_NAMES:
+        assert (got[f"score_{r}"].values == feats[f"score_{r}"].values).all(), r
+        assert (got[f"status_{r}"].values
+                == feats[f"status_{r}"].values).all(), r
+    assert (got["keep_core"].values == feats["keep"].values).all()
+    assert (got["scrubbed_caption"].values
+            == pdf["caption"].map(ri.scrub).values).all()
