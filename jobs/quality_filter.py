@@ -45,13 +45,16 @@ def _build_session(master: str | None) -> SparkSession:
 
 def _load_input(spark: SparkSession, args) -> tuple:
     if args.synth:
-        import pandas as pd
-
         from bioanalyzer_backend_spark.datagen import synth
-        table, _ = synth.generate(args.synth, seed=args.seed)
-        df = spark.createDataFrame(pd.DataFrame(table), schema=(
-            "image_id string, bytes binary, w int, h int, fmt string, "
-            "caption string, phash long"))
+
+        # write-once parquet under the warehouse, then a distributed scan:
+        # a driver-local createDataFrame would ship image bytes inside
+        # task payloads, which is exactly what breaks at scale
+        path = synth.write_images_parquet(
+            os.path.join(args.warehouse, "_synth_input"),
+            args.synth, seed=args.seed)
+        df = spark.read.parquet(path).select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
         return df, f"synth:{args.synth}"
     from bioanalyzer_backend_spark.sources.catalog import open_table
     if args.input.startswith("/") or args.input.startswith("file:"):
