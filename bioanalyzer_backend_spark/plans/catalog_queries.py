@@ -505,6 +505,23 @@ def _q_pattern_extract_all(d: str) -> str:
             f"AS n_patterns FROM documents")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java/RE2/Python
+# common regex subset (no \p{L}, no lookahead): contractions, then
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+_BPE_PAT = "('s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+)"
+
+
+def _q_bpe_tokens(d: str) -> str:
+    """R15 analogue, BPE-ish path: token counts from the GPT-2 pre-tokenizer
+    regex (the subword-budget estimator a training pipeline runs before
+    the real BPE merge), alongside the whitespace count for calibration."""
+    ws = sqlgen.arr_len(sqlgen.tokens_expr("text", d), d)
+    bpe = sqlgen.arr_len(sqlgen.rx_extract_all_full("text", _BPE_PAT, d), d)
+    return (f"SELECT doc_id AS row_id, "
+            f"CAST({bpe} AS BIGINT) AS n_bpe, "
+            f"CAST({ws} AS BIGINT) AS n_ws FROM documents")
+
+
 def _q_nonempty_filter(d: str) -> str:
     """P3/P5/P6: empty-content + null-sentinel filter."""
     sentinels = ", ".join(sqlgen.slit(s) for s in spec.NULL_SENTINELS if s)
@@ -559,6 +576,7 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "qf_scrub_documents": _q_scrub,
     "qf_keep_by_lang": _q_keep_by_lang,
     "tok_stats_documents": _q_tok_stats,
+    "bpe_token_count_documents": _q_bpe_tokens,
     "fingerprint_documents": _q_fingerprint,
     "dedup_exact_documents": _q_dedup_exact,
     "langid_marker_documents": _q_langid_marker,

@@ -37,12 +37,13 @@ DIALECTS = (SPARK, DUCK)
 # --------------------------------------------------------------------------
 
 def rlit(pattern: str, d: str) -> str:
-    """Render a regex as a SQL string literal for dialect *d*."""
+    """Render a regex as a SQL string literal for dialect *d*.
+
+    Single quotes are escaped by doubling — `''` parses identically in
+    Spark SQL and DuckDB (verified: both return a literal apostrophe)."""
     if d == SPARK:
         pattern = pattern.replace("\\", "\\\\")
-    if "'" in pattern:
-        raise ValueError("single quotes not allowed in patterns")
-    return f"'{pattern}'"
+    return f"'{pattern.replace(chr(39), chr(39) * 2)}'"
 
 
 def slit(s: str) -> str:
