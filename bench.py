@@ -94,7 +94,9 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              "join_orders_nation", "window_top3_per_cust", "cosine_top10",
              "ann_lsh_top10", "ann_ivf_top10", "audit_grouping_sets",
              "events_summary", "langid_udf_documents",
-             "image_stats_multimodal")
+             "image_stats_multimodal", "zscore_quality_by_lang",
+             "stats_by_lang", "bpe_token_count_documents",
+             "dup_pixel_verify_images")
     reg = registry()
     times = {}
     for name in heads:

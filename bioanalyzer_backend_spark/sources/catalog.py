@@ -114,8 +114,16 @@ class LocalSnapshotTable:
         return self._commit(new_files, cur["snapshot"] if cur else None,
                             "merge")
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        snap = self.current_snapshot()
+    def read(self, spark: SparkSession,
+             snapshot_id: str | None = None) -> DataFrame | None:
+        """Read HEAD, or any retained snapshot by id (time travel —
+        Iceberg ``VERSION AS OF`` analogue; snapshots stay readable until
+        ``expire_snapshots`` reclaims their files)."""
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            with open(os.path.join(self.meta_dir, snapshot_id)) as f:
+                snap = json.load(f)
         if snap is None or not snap["files"]:
             return None
         return spark.read.parquet(*snap["files"])

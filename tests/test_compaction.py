@@ -44,3 +44,19 @@ def test_expire_snapshots_removes_only_dead_files(spark, tmp_path):
     assert live_files <= remaining
     # every pre-compaction file is gone
     assert remaining == live_files
+
+
+def test_time_travel_read_by_snapshot_id(spark, tmp_path):
+    """Iceberg VERSION-AS-OF analogue: every retained snapshot stays
+    readable by id; appends and compaction never mutate old snapshots."""
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    s1 = tbl.append(spark.range(100).withColumnRenamed("id", "k"))
+    s2 = tbl.append(spark.range(100, 250).withColumnRenamed("id", "k"))
+    tbl.compact(spark, target_files=1)
+
+    assert tbl.read(spark, snapshot_id=s1).count() == 100
+    assert tbl.read(spark, snapshot_id=s2).count() == 250
+    assert tbl.read(spark).count() == 250          # HEAD = post-compaction
+    # expiry invalidates old snapshots' exclusive files
+    tbl.expire_snapshots(keep=1)
+    assert tbl.read(spark).count() == 250
