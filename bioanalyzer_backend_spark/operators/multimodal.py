@@ -96,6 +96,30 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             .mapInPandas(gen, schema=RESIZED_SCHEMA))
 
 
+def with_phash(df: DataFrame, bytes_col: str = "bytes",
+               fmt_col: str = "fmt", out_col: str = "phash") -> DataFrame:
+    """Derive the 64-bit perceptual hash from the binary image column
+    (functions/phash.average_hash over decoded pixels) — a raw crawl does
+    not arrive pre-stamped. Arrow-batched pandas UDF; undecodable rows
+    get NULL (error-row semantics, F6). The synth generator stamps the
+    SAME hash, so derived == stamped is a tested invariant."""
+    import pyspark.sql.functions as F
+
+    from ..functions.phash import average_hash
+
+    @F.pandas_udf("long")
+    def _ph(blobs: pd.Series, fmts: pd.Series) -> pd.Series:
+        out = []
+        for blob, fmt in zip(blobs, fmts):
+            try:
+                out.append(average_hash(imgcodec.decode(bytes(blob), fmt)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _ph(F.col(bytes_col), F.col(fmt_col)))
+
+
 DUP_VERIFY_SCHEMA = ("phash long, image_id string, canonical_id string, "
                      "psnr_db double, pixel_dup boolean")
 

@@ -290,3 +290,27 @@ def test_minhash_mega_bucket_cap(spark):
     assert kept.count() == 1
     h = hot.collect()[0]
     assert (h.band, h.sig, h.bucket_n) == (0, "k", 20)
+
+
+def test_with_phash_matches_stamped(spark, synth_images, synth_images_df):
+    """Deriving phash from bytes reproduces the generator's stamped value
+    on every non-dup-group row (dup-group members carry the canonical
+    member's stamp over noisy pixels, by design); garbage bytes -> NULL."""
+    from pyspark.sql import functions as F
+
+    from bioanalyzer_backend_spark.operators import multimodal
+
+    clean_ids = set(
+        synth_images.loc[synth_images["dup_group"] == "", "image_id"])
+    sample = (synth_images_df
+              .where(F.col("image_id").isin(list(clean_ids)[:300]))
+              .select("image_id", "bytes", "fmt",
+                      F.col("phash").alias("stamped")))
+    got = multimodal.with_phash(sample)
+    assert got.count() > 200
+    assert got.where(F.col("phash") != F.col("stamped")).count() == 0
+    assert got.where(F.col("phash").isNull()).count() == 0
+
+    bad = spark.createDataFrame([("x", b"nope", "bmp")],
+                                "image_id string, bytes binary, fmt string")
+    assert multimodal.with_phash(bad).collect()[0]["phash"] is None
