@@ -71,8 +71,7 @@ def ppl_batch(texts, logp: np.ndarray) -> np.ndarray:
     capped to a large finite value (they are judged by other rules)."""
     n = len(texts)
     rows, a, b = _bigrams(texts)
-    ll = np.zeros(n, dtype=np.float64)
-    np.add.at(ll, rows, logp[a, b])
+    ll = np.bincount(rows, weights=logp[a, b], minlength=n)
     cnt = np.bincount(rows, minlength=n).astype(np.float64)
     has = cnt > 0
     mean_ll = np.where(has, ll / np.maximum(cnt, 1.0), 0.0)
