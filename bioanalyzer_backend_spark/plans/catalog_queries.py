@@ -433,6 +433,47 @@ GROUP BY n.n_name
 """
 
 
+def _q_shipping_priority(d: str) -> str:
+    """TPC-H Q3 shape: 3-way join with date predicates on both fact
+    tables, revenue agg, top-10 — selective-filter pushdown + broadcast
+    dim + TakeOrderedAndProject in one plan."""
+    return """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def _q_local_supplier_volume(d: str) -> str:
+    """TPC-H Q5 shape: 6-way snowflake join (region->nation->customer/
+    supplier->orders->lineitem) with the local-supplier constraint
+    (c_nationkey = s_nationkey), revenue per nation."""
+    return """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
 def _q_antijoin_resume(d: str) -> str:
     """S6/F3 resume semantics: anti-join of ids vs 'done' set."""
     return """
@@ -597,6 +638,8 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "events_summary": _q_events_summary,
     "lineitem_rollup": _q_lineitem_rollup,
     "join_orders_nation": _q_join_nation,
+    "shipping_priority_top10": _q_shipping_priority,
+    "local_supplier_volume": _q_local_supplier_volume,
     "antijoin_resume": _q_antijoin_resume,
     "topk_orders": _q_topk_orders,
     "window_top3_per_cust": _q_window_top3,
