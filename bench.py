@@ -96,7 +96,8 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              "events_summary", "langid_udf_documents",
              "image_stats_multimodal", "zscore_quality_by_lang",
              "stats_by_lang", "bpe_token_count_documents",
-             "dup_pixel_verify_images")
+             "dup_pixel_verify_images", "shipping_priority_top10",
+             "local_supplier_volume")
     reg = registry()
     times = {}
     for name in heads:

@@ -94,3 +94,14 @@ def test_scrub_expr_is_native_regexp_chain(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "*(" in plan   # codegen span
+
+
+def test_snowflake_join_broadcasts_all_dims(spark):
+    """TPC-H Q5 shape: every dimension side (region/nation/customer/
+    supplier) broadcasts; no dimension triggers a sort-merge join."""
+    fn, _ = registry()["local_supplier_volume"]
+    df = fn(spark, SF01)
+    assert len(df.collect()) > 0              # finalize adaptive plan
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
