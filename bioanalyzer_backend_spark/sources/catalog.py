@@ -71,6 +71,45 @@ class LocalSnapshotTable:
         os.replace(head_tmp, self._head_path())   # the atomic publish
         return snap_id
 
+    def _commit_lock(self, timeout_s: float = 60.0):
+        """Exclusive commit section (Iceberg optimistic-commit analogue).
+
+        Without it, two concurrent appends both read the same parent
+        snapshot and the second HEAD swap silently drops the first
+        writer's files (lost update). O_CREAT|O_EXCL on a lock file is
+        atomic on POSIX; holders die -> stale lock breaks after
+        ``timeout_s``."""
+        import contextlib
+
+        lock_path = os.path.join(self.meta_dir, "COMMIT_LOCK")
+
+        @contextlib.contextmanager
+        def lock():
+            deadline = time.time() + timeout_s
+            while True:
+                try:
+                    fd = os.open(lock_path,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    try:
+                        if os.path.getmtime(lock_path) < time.time() - timeout_s:
+                            os.unlink(lock_path)   # break stale lock
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    if time.time() > deadline:
+                        raise TimeoutError(f"commit lock busy: {lock_path}")
+                    time.sleep(0.02)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lock_path)
+
+        return lock()
+
     def history(self) -> list[str]:
         out = []
         snap = self.current_snapshot()
@@ -86,33 +125,49 @@ class LocalSnapshotTable:
     # -- operations ------------------------------------------------------------
 
     def append(self, df: DataFrame) -> str:
-        """Write df as new data files, then atomically extend the manifest."""
+        """Write df as new data files, then atomically extend the manifest.
+        The (slow) data write happens unlocked — unique dirs can't clash;
+        only the read-parent -> publish-HEAD section is exclusive."""
         batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(batch_dir)
         new_files = [os.path.join(batch_dir, f)
                      for f in os.listdir(batch_dir) if f.endswith(".parquet")]
-        cur = self.current_snapshot()
-        files = (cur["files"] if cur else []) + new_files
-        return self._commit(files, cur["snapshot"] if cur else None, "append")
+        with self._commit_lock():
+            cur = self.current_snapshot()
+            files = (cur["files"] if cur else []) + new_files
+            return self._commit(files, cur["snapshot"] if cur else None,
+                                "append")
 
     def merge_by_key(self, spark: SparkSession, src: DataFrame,
                      key: str) -> str:
         """MERGE semantics (INSERT OR REPLACE of cache_manager.py:100-111):
         matched target rows are replaced by source rows, unmatched source
         rows are inserted. Implemented as anti-join + union rewrite, then
-        one atomic snapshot swap."""
-        cur_df = self.read(spark)
-        if cur_df is None:
-            return self.append(src)
-        kept = cur_df.join(src.select(key), key, "left_anti")
-        merged = kept.unionByName(src)
-        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        merged.write.mode("overwrite").parquet(batch_dir)
-        new_files = [os.path.join(batch_dir, f)
-                     for f in os.listdir(batch_dir) if f.endswith(".parquet")]
-        cur = self.current_snapshot()
-        return self._commit(new_files, cur["snapshot"] if cur else None,
-                            "merge")
+        one atomic snapshot swap. The rewrite depends on current content,
+        so the whole read-rewrite-commit section holds the lock
+        (concurrent merges serialize instead of losing updates)."""
+        with self._commit_lock():
+            cur_df = self.read(spark)
+            if cur_df is None:
+                cur = self.current_snapshot()
+                batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+                src.write.mode("overwrite").parquet(batch_dir)
+                new_files = [os.path.join(batch_dir, f)
+                             for f in os.listdir(batch_dir)
+                             if f.endswith(".parquet")]
+                return self._commit(new_files,
+                                    cur["snapshot"] if cur else None,
+                                    "append")
+            kept = cur_df.join(src.select(key), key, "left_anti")
+            merged = kept.unionByName(src)
+            batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+            merged.write.mode("overwrite").parquet(batch_dir)
+            new_files = [os.path.join(batch_dir, f)
+                         for f in os.listdir(batch_dir)
+                         if f.endswith(".parquet")]
+            cur = self.current_snapshot()
+            return self._commit(new_files, cur["snapshot"] if cur else None,
+                                "merge")
 
     def read(self, spark: SparkSession,
              snapshot_id: str | None = None) -> DataFrame | None:
@@ -137,16 +192,18 @@ class LocalSnapshotTable:
         ``target_files`` files and commits the new list atomically —
         readers see either the old file set or the new one, never a mix.
         Old files stay on disk for time-travel until expired."""
-        cur_df = self.read(spark)
-        if cur_df is None:
-            return self._commit([], None, "compact")
-        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        cur_df.repartition(target_files).write.mode("overwrite") \
-            .parquet(batch_dir)
-        new_files = [os.path.join(batch_dir, f)
-                     for f in os.listdir(batch_dir) if f.endswith(".parquet")]
-        cur = self.current_snapshot()
-        return self._commit(new_files, cur["snapshot"], "compact")
+        with self._commit_lock():
+            cur_df = self.read(spark)
+            if cur_df is None:
+                return self._commit([], None, "compact")
+            batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+            cur_df.repartition(target_files).write.mode("overwrite") \
+                .parquet(batch_dir)
+            new_files = [os.path.join(batch_dir, f)
+                         for f in os.listdir(batch_dir)
+                         if f.endswith(".parquet")]
+            cur = self.current_snapshot()
+            return self._commit(new_files, cur["snapshot"], "compact")
 
     def expire_snapshots(self, keep: int = 1) -> int:
         """Delete data files referenced ONLY by snapshots older than the

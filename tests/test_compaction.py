@@ -60,3 +60,32 @@ def test_time_travel_read_by_snapshot_id(spark, tmp_path):
     # expiry invalidates old snapshots' exclusive files
     tbl.expire_snapshots(keep=1)
     assert tbl.read(spark).count() == 250
+
+
+def test_concurrent_appends_lose_no_rows(spark, tmp_path):
+    """Commit locking: N threads appending concurrently must all land —
+    without the lock, racers read the same parent and the last HEAD swap
+    silently drops the other writers' files."""
+    import threading
+
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    errs = []
+
+    def worker(i):
+        try:
+            tbl.append(spark.range(i * 1000, i * 1000 + 100)
+                       .coalesce(1).withColumnRenamed("id", "k"))
+        except Exception as e:   # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errs
+    assert len(tbl.history()) == 8
+    got = tbl.read(spark)
+    assert got.count() == 800
+    assert got.select("k").distinct().count() == 800
