@@ -3,8 +3,9 @@
 The Spark-side plumbing (schema, Arrow batch shape, mapInPandas
 signatures, error-row materialization) is real and tested; the pixel
 codecs are the repo's own pure-numpy BMP/PPM (datagen/imgcodec.py) since
-no imaging libs exist in the sandbox. Formats beyond bmp/ppm and the
-audio/video extractors are explicit stubs (NotImplementedError) with the
+no imaging libs exist in the sandbox; audio WAV/PCM16 decodes with a
+pure-numpy RIFF parser the same way. Formats beyond bmp/ppm/wav and the
+video frame-sampler are explicit stubs (NotImplementedError) with the
 production schema already wired.
 
 Error semantics follow the reference's error-row materialization
@@ -184,13 +185,79 @@ VIDEO_FRAMES_SCHEMA = ("video_id string, frame_idx int, ts_s double, "
                        "bytes binary, w int, h int, fmt string")
 
 
+def _decode_wav_pcm16(data: bytes):
+    """Minimal RIFF/WAVE PCM16 parser (pure numpy — WAV is uncompressed,
+    like BMP/PPM). Returns (samples float64 in [-1,1], sample_rate)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt_info, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported wav: fmt={audio_fmt} bits={bits}")
+            fmt_info = (n_ch, rate)
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt_info is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch, rate = fmt_info
+    pcm = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+    if n_ch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return pcm, rate
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Synthesize WAV bytes for tests (mono PCM16)."""
+    import struct
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
 def audio_features(df: DataFrame) -> DataFrame:
-    """STUB: no audio codec in this container. Production shape: mapInPandas
-    over (clip_id, bytes, fmt) -> AUDIO_FEATURES_SCHEMA."""
-    raise NotImplementedError(
-        "audio decode needs a codec lib not present in this sandbox; "
-        "wire a decoder into a mapInPandas generator with "
-        f"schema={AUDIO_FEATURES_SCHEMA!r}")
+    """Audio feature extraction over the binary column (mapInPandas):
+    WAV/PCM16 decodes with the pure-numpy RIFF parser above -> duration,
+    sample rate, RMS; compressed formats (mp3/flac/...) have no codec in
+    this sandbox and surface as error rows (F6), keeping the production
+    schema and batch shape real and tested."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("clip_id", "ok", "err", "duration_s",
+                                   "sample_rate", "rms")}
+            for cid, blob in zip(pdf["clip_id"], pdf["bytes"]):
+                out["clip_id"].append(cid)
+                try:
+                    pcm, rate = _decode_wav_pcm16(bytes(blob))
+                    out["ok"].append(True)
+                    out["err"].append(None)
+                    out["duration_s"].append(len(pcm) / rate)
+                    out["sample_rate"].append(rate)
+                    out["rms"].append(float(np.sqrt(np.mean(pcm ** 2)))
+                                      if len(pcm) else 0.0)
+                except Exception as e:
+                    out["ok"].append(False)
+                    out["err"].append(f"{type(e).__name__}: {e}")
+                    out["duration_s"].append(None)
+                    out["sample_rate"].append(None)
+                    out["rms"].append(None)
+            yield pd.DataFrame(out)
+
+    return (df.select("clip_id", "bytes")
+            .mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA))
 
 
 def video_frame_sample(df: DataFrame, every_s: float = 1.0) -> DataFrame:

@@ -222,11 +222,33 @@ def test_resize_images_roundtrip(spark, synth_images_df):
     assert px.shape == (8, 8, 3)
 
 
-def test_audio_video_stubs_raise(spark, synth_images_df):
-    with pytest.raises(NotImplementedError):
-        multimodal.audio_features(synth_images_df)
+def test_video_stub_raises(spark, synth_images_df):
     with pytest.raises(NotImplementedError):
         multimodal.video_frame_sample(synth_images_df)
+
+
+def test_audio_features_wav_pcm16(spark):
+    """WAV/PCM16 decodes with the pure-numpy RIFF parser: a known sine
+    clip yields exact duration/rate and RMS ~ A/sqrt(2); compressed
+    formats surface as error rows."""
+    import numpy as np
+
+    rate, secs, amp = 8000, 2.0, 0.5
+    t = np.arange(int(rate * secs)) / rate
+    wav = multimodal.encode_wav_pcm16(amp * np.sin(2 * np.pi * 440 * t),
+                                      rate)
+    df = spark.createDataFrame(
+        [("c0", bytearray(wav)), ("c1", bytearray(b"ID3\x03not-a-wav"))],
+        "clip_id string, bytes binary")
+    got = {r["clip_id"]: r for r in multimodal.audio_features(df).collect()}
+
+    ok = got["c0"]
+    assert ok["ok"] and ok["sample_rate"] == rate
+    assert abs(ok["duration_s"] - secs) < 1e-9
+    assert abs(ok["rms"] - amp / np.sqrt(2)) < 1e-3
+    bad = got["c1"]
+    assert not bad["ok"] and "not a RIFF" in bad["err"]
+    assert bad["duration_s"] is None
 
 
 def test_verify_dup_groups_pixel_level(spark):
