@@ -260,10 +260,102 @@ def audio_features(df: DataFrame) -> DataFrame:
             .mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA))
 
 
+def _parse_avi_rgb24(data: bytes):
+    """Minimal RIFF/AVI parser for uncompressed RGB24 '00db' frames
+    (pure numpy — an uncompressed AVI is just a RIFF of DIB frames).
+    Returns (frames list[(h,w,3) uint8], seconds_per_frame)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    us_per_frame, w, h = None, None, None
+    frames: list[np.ndarray] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal us_per_frame, w, h
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos:pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            body_lo = pos + 8
+            if cid == b"LIST":
+                walk(body_lo + 4, body_lo + size)     # skip list type tag
+            elif cid == b"avih":
+                us_per_frame = struct.unpack_from("<I", data, body_lo)[0]
+                w, h = struct.unpack_from("<II", data, body_lo + 32)
+            elif cid[2:] == b"db":                    # uncompressed DIB
+                if w is None:
+                    raise ValueError("avih not seen before frames")
+                row = w * 3
+                stride = row + (4 - row % 4) % 4
+                raw = np.frombuffer(data, np.uint8, stride * h, body_lo)
+                px = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)
+                frames.append(px[::-1, :, ::-1].copy())   # bottom-up BGR
+            pos = body_lo + size + (size & 1)
+
+    walk(12, len(data))
+    if us_per_frame is None:
+        raise ValueError("missing avih header")
+    return frames, us_per_frame / 1e6
+
+
+def encode_avi_rgb24(frames, fps: int = 4) -> bytes:
+    """Synthesize an uncompressed AVI for tests (RGB24 '00db' frames)."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    h, w, _ = frames[0].shape
+    avih = struct.pack("<IIIIIIIIII4I", int(1e6 / fps), 0, 0, 0,
+                       len(frames), 0, 1, 0, w, h, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_frames = []
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    for px in frames:
+        bgr = px[::-1, :, ::-1]
+        if pad:
+            rows = np.zeros((h, row + pad), dtype=np.uint8)
+            rows[:, :row] = bgr.reshape(h, row)
+            body = rows.tobytes()
+        else:
+            body = bgr.tobytes()
+        movi_frames.append(chunk(b"00db", body))
+    movi = chunk(b"LIST", b"movi" + b"".join(movi_frames))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
 def video_frame_sample(df: DataFrame, every_s: float = 1.0) -> DataFrame:
-    """STUB: no video codec in this container. Production shape: mapInPandas
-    over (video_id, bytes, fmt) -> one row per sampled frame."""
-    raise NotImplementedError(
-        "video decode needs a codec lib not present in this sandbox; "
-        "wire a decoder into a mapInPandas generator with "
-        f"schema={VIDEO_FRAMES_SCHEMA!r}")
+    """Frame sampling over the binary video column (mapInPandas, one row
+    per sampled frame — a row-multiplying operator): uncompressed
+    RIFF/AVI decodes with the pure-numpy parser above, frames are sampled
+    every ``every_s`` seconds of stream time and re-encoded as BMP bytes.
+    Compressed codecs have no decoder in this sandbox; those rows are
+    dropped (failures surface via a stats pass, mirroring resize)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("video_id", "frame_idx", "ts_s",
+                                    "bytes", "w", "h", "fmt")}
+            for vid, blob in zip(pdf["video_id"], pdf["bytes"]):
+                try:
+                    frames, spf = _parse_avi_rgb24(bytes(blob))
+                except Exception:
+                    continue
+                step = max(1, round(every_s / spf)) if spf > 0 else 1
+                for idx in range(0, len(frames), step):
+                    px = frames[idx]
+                    rows["video_id"].append(vid)
+                    rows["frame_idx"].append(idx)
+                    rows["ts_s"].append(idx * spf)
+                    rows["bytes"].append(imgcodec.encode_bmp(px))
+                    rows["h"].append(px.shape[0])
+                    rows["w"].append(px.shape[1])
+                    rows["fmt"].append("bmp")
+            yield pd.DataFrame(rows)
+
+    return (df.select("video_id", "bytes")
+            .mapInPandas(gen, schema=VIDEO_FRAMES_SCHEMA))

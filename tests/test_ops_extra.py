@@ -222,11 +222,6 @@ def test_resize_images_roundtrip(spark, synth_images_df):
     assert px.shape == (8, 8, 3)
 
 
-def test_video_stub_raises(spark, synth_images_df):
-    with pytest.raises(NotImplementedError):
-        multimodal.video_frame_sample(synth_images_df)
-
-
 def test_audio_features_wav_pcm16(spark):
     """WAV/PCM16 decodes with the pure-numpy RIFF parser: a known sine
     clip yields exact duration/rate and RMS ~ A/sqrt(2); compressed
@@ -336,3 +331,26 @@ def test_with_phash_matches_stamped(spark, synth_images, synth_images_df):
     bad = spark.createDataFrame([("x", b"nope", "bmp")],
                                 "image_id string, bytes binary, fmt string")
     assert multimodal.with_phash(bad).collect()[0]["phash"] is None
+
+
+def test_video_frame_sample_avi(spark):
+    """Uncompressed AVI round-trip: 12 frames at 4 fps sampled every 1s
+    -> frames 0/4/8 with exact timestamps and pixel content."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 255, (6, 5, 3), dtype=np.uint8)
+              for _ in range(12)]
+    avi = multimodal.encode_avi_rgb24(frames, fps=4)
+    df = spark.createDataFrame(
+        [("v0", bytearray(avi)), ("v1", bytearray(b"not a video"))],
+        "video_id string, bytes binary")
+    got = (multimodal.video_frame_sample(df, every_s=1.0)
+           .toPandas().sort_values("frame_idx").reset_index(drop=True))
+
+    assert got["video_id"].unique().tolist() == ["v0"]   # bad row dropped
+    assert got["frame_idx"].tolist() == [0, 4, 8]
+    assert got["ts_s"].tolist() == [0.0, 1.0, 2.0]
+    assert (got["w"] == 5).all() and (got["h"] == 6).all()
+    px = imgcodec.decode(bytes(got.iloc[1]["bytes"]), "bmp")
+    assert (px == frames[4]).all()                       # exact pixels
