@@ -155,3 +155,23 @@ def test_stateful_dedup_matches_batch_dedup(spark, tmp_path):
             .select("image_id", "is_dup")
             .toPandas().sort_values("image_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stateful_dedup_with_ttl_plumbs_timeout(spark, tmp_path):
+    """state_ttl_ms > 0 switches to ProcessingTimeTimeout and
+    setTimeoutDuration — the query must run and flag same-batch dups
+    (timeout FIRING is wall-clock-dependent; this pins the plumbing)."""
+    pdf = pd.DataFrame([("a0", 7), ("a1", 7), ("a2", 8)],
+                       columns=["image_id", "phash"])
+    src = tmp_path / "src"
+    spark.createDataFrame(pdf, "image_id string, phash long") \
+        .coalesce(1).write.parquet(str(src))
+    stream = (spark.readStream.schema("image_id string, phash long")
+              .parquet(str(src)))
+    results = LocalSnapshotTable(str(tmp_path / "res"))
+    q = stateful.start_stateful_dedup(stream, results, str(tmp_path / "ck"),
+                                      state_ttl_ms=60_000)
+    q.awaitTermination(180)
+    got = {r["image_id"]: r["is_dup"]
+           for r in results.read(spark).collect()}
+    assert got == {"a0": False, "a1": True, "a2": False}
