@@ -158,17 +158,26 @@ def main_flagship_only(cpus: int) -> None:
 
 
 def main_scaling() -> None:
-    """N vs 4N evidence: same job, same input, two parallelism levels."""
+    """N vs 4N evidence: same job, same input, two parallelism levels.
+
+    The pair is run twice, interleaved, and each level keeps its best
+    run: this box carries outside load that comes and goes (load avg
+    swings 2->6 with nothing of ours running), and a noisy window during
+    one level's subprocess would otherwise corrupt the ratio — observed
+    spread on identical runs: 32k-55k img/s at 8 cores."""
     _images_path(N_SCALING)   # generate cache once, outside timing
     lo, hi = SCALING_CPUS
-    results = {}
-    for cpus in (lo, hi):
+    results: dict[int, dict] = {}
+    for cpus in (lo, hi, lo, hi):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--flagship-only", "--cpus", str(cpus)],
             capture_output=True, text=True, check=True)
         line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        r = json.loads(line)
+        if cpus not in results or (r["images_per_sec"]
+                                   > results[cpus]["images_per_sec"]):
+            results[cpus] = r
     rl, rh = results[lo], results[hi]
     factor = hi / lo
     speed = rh["images_per_sec"] / rl["images_per_sec"]
