@@ -202,9 +202,13 @@ IMAGES_SCHEMA = pa.schema([
 
 def write_images_parquet(out_dir: str, n_rows: int, seed: int = 42,
                          dims=(16, 32, 64), force: bool = False) -> str:
-    """Generate-once cache: artifacts/images_n{n}_s{seed}.parquet (+_meta)."""
+    """Generate-once cache keyed by EVERY generation parameter —
+    (n_rows, seed, dims) — so two callers with different dims can never
+    silently serve each other the wrong corpus."""
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"images_n{n_rows}_s{seed}.parquet")
+    dtag = "x".join(str(d) for d in dims)
+    path = os.path.join(out_dir,
+                        f"images_n{n_rows}_s{seed}_d{dtag}.parquet")
     meta_path = path.replace(".parquet", "_meta.parquet")
     if os.path.exists(path) and os.path.exists(meta_path) and not force:
         return path

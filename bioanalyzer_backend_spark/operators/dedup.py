@@ -67,6 +67,11 @@ def cap_buckets(sig: DataFrame, keys: list[str],
     ``(filtered_sig, dropped_report)`` where the report carries one row
     per skipped bucket with its size, suitable for the audit table.
     """
+    # the signature lineage (shingle+md5 HOFs) feeds the counts agg, the
+    # anti-join probe, AND the caller's self-join — persist it so the
+    # expensive expression is evaluated once, not once per branch
+    # (CLAUDE.md multi-branch recompute landmine)
+    sig = sig.persist()
     counts = sig.groupBy(*keys).agg(F.count("*").alias("bucket_n"))
     hot = counts.where(F.col("bucket_n") > max_bucket)
     kept = sig.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
@@ -76,7 +81,8 @@ def cap_buckets(sig: DataFrame, keys: list[str],
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
                            id_col: str = "image_id",
                            n_bands: int = 4,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = None,
+                           return_report: bool = False):
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
 
     Deterministic hash family: ONE md5 per shingle, band b's hash = the
@@ -101,8 +107,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
     sig = (sh.select("_id", *mins)
            .selectExpr("_id", f"stack({n_bands}, {stack_args}) AS (band, sig)")
            .where(F.col("sig").isNotNull()))
+    hot = None
     if max_bucket is not None:
-        sig, _hot = cap_buckets(sig, ["band", "sig"], max_bucket)
+        sig, hot = cap_buckets(sig, ["band", "sig"], max_bucket)
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -111,6 +118,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"))
              .distinct())
+    if return_report:
+        # no silent caps: hand the skipped-bucket rows to the caller for
+        # the audit table (empty frame when max_bucket is None)
+        if hot is None:
+            hot = sig.select(F.lit(0).alias("band"), F.col("sig"),
+                             F.lit(0).cast("long").alias("bucket_n")).limit(0)
+        return pairs, hot
     return pairs
 
 
@@ -185,7 +199,8 @@ def with_simhash(df: DataFrame, text_col: str = "caption") -> DataFrame:
 def simhash_candidates(df: DataFrame, text_col: str = "caption",
                        id_col: str = "image_id",
                        n_blocks: int = 4,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       return_report: bool = False):
     """Hamming-near pairs via block permutation: signatures agreeing on any
     16-bit block are candidates (finds all pairs within Hamming radius
     n_blocks-1 by pigeonhole)."""
@@ -200,8 +215,9 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
     allb = blocks[0]
     for b in blocks[1:]:
         allb = allb.unionByName(b)
+    hot = None
     if max_bucket is not None:
-        allb, _hot = cap_buckets(allb, ["block", "key"], max_bucket)
+        allb, hot = cap_buckets(allb, ["block", "key"], max_bucket)
     a, b = allb.alias("a"), allb.alias("b")
     return (a.join(b, (F.col("a.block") == F.col("b.block"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -211,3 +227,9 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
                     F.col("a.simhash").alias("sig_a"),
                     F.col("b.simhash").alias("sig_b"))
             .distinct())
+    if return_report:
+        if hot is None:
+            hot = allb.select("block", "key",
+                              F.lit(0).cast("long").alias("bucket_n")).limit(0)
+        return pairs, hot
+    return pairs

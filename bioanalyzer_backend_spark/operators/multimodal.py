@@ -125,7 +125,8 @@ DUP_VERIFY_SCHEMA = ("phash long, image_id string, canonical_id string, "
                      "psnr_db double, pixel_dup boolean")
 
 
-def verify_dup_groups(df: DataFrame, psnr_min: float = 40.0) -> DataFrame:
+def verify_dup_groups(df: DataFrame, psnr_min: float = 40.0,
+                      max_group: int = 1024) -> DataFrame:
     """Pixel-level verification of phash dup groups via grouped-map
     ``applyInPandas`` — a phash collision is only a CANDIDATE duplicate;
     the keep/drop decision needs the decoded-pixel invariant
@@ -136,13 +137,19 @@ def verify_dup_groups(df: DataFrame, psnr_min: float = 40.0) -> DataFrame:
     co-locate image bytes by key, so it shuffles bytes — but only for
     rows inside multi-member phash groups (the broadcast semi-join below
     prunes singletons first, i.e. a few % of a crawl), never the full
-    table. Undecodable members surface as psnr_db NULL / pixel_dup false
+    table. A degenerate hot phash (solid-color/template images) would put
+    every member's bytes into ONE Python worker, so groups larger than
+    ``max_group`` are excluded here and belong to the batch dedup path,
+    which already treats the whole group as duplicates without touching
+    pixels (same mega-bucket discipline as dedup.cap_buckets).
+    Undecodable members surface as psnr_db NULL / pixel_dup false
     (error-row semantics, F6)."""
     import pyspark.sql.functions as F
 
     slim = df.select("phash", "image_id", "bytes", "fmt")
     multi = (slim.groupBy("phash").agg(F.count("*").alias("_n"))
-             .where(F.col("_n") > 1).select("phash"))
+             .where((F.col("_n") > 1) & (F.col("_n") <= max_group))
+             .select("phash"))
     cand = slim.join(F.broadcast(multi), "phash")
 
     def gp(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -335,7 +335,12 @@ FROM j
 def _q_stats_by_lang(d: str) -> str:
     """Statistical aggregates per language: exact interpolated MEDIAN of
     the quality score and the CORR between rules-present count and score
-    (A9-style batch summary, one pass)."""
+    (A9-style batch summary, one pass). Zero-variance cohorts: Spark's
+    corr yields NaN where DuckDB yields NULL — normalize NaN -> NULL so
+    both dialects agree."""
+    corr = "CORR(np, qs)"
+    corr = f"CASE WHEN ISNAN({corr}) THEN NULL ELSE {corr} END" \
+        if d == SPARK else corr
     return f"""
 WITH q AS ({sqlgen.quality_core_sql(d)}),
 j AS (SELECT dd.lang AS lang, q.quality_score AS qs,
@@ -344,7 +349,7 @@ j AS (SELECT dd.lang AS lang, q.quality_score AS qs,
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(MEDIAN(qs), 5) AS median_qs,
-       ROUND(CORR(np, qs), 5) AS corr_present_qs
+       ROUND({corr}, 5) AS corr_present_qs
 FROM j GROUP BY lang
 """
 

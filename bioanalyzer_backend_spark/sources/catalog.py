@@ -72,13 +72,16 @@ class LocalSnapshotTable:
         return snap_id
 
     def _commit_lock(self, timeout_s: float = 60.0):
-        """Exclusive commit section (Iceberg optimistic-commit analogue).
+        """Exclusive lock around the (sub-second) read-parent ->
+        publish-HEAD section ONLY — slow work (Spark writes) must happen
+        outside it, which is why merge/compact use optimistic retry
+        instead of holding this across their rewrite.
 
-        Without it, two concurrent appends both read the same parent
-        snapshot and the second HEAD swap silently drops the first
-        writer's files (lost update). O_CREAT|O_EXCL on a lock file is
-        atomic on POSIX; holders die -> stale lock breaks after
-        ``timeout_s``."""
+        O_CREAT|O_EXCL is atomic on POSIX. A holder that dies leaves a
+        stale lock; breaking is rename-based so that of several waiters
+        exactly ONE wins the break (os.replace of a missing source throws
+        for the losers) — a naive unlink+retry lets two waiters both
+        "break" and admit two holders."""
         import contextlib
 
         lock_path = os.path.join(self.meta_dir, "COMMIT_LOCK")
@@ -93,8 +96,13 @@ class LocalSnapshotTable:
                     break
                 except FileExistsError:
                     try:
-                        if os.path.getmtime(lock_path) < time.time() - timeout_s:
-                            os.unlink(lock_path)   # break stale lock
+                        stale = (os.path.getmtime(lock_path)
+                                 < time.time() - timeout_s)
+                        if stale:
+                            # atomic claim: one waiter wins the rename,
+                            # the rest loop and see the lock gone
+                            os.replace(lock_path,
+                                       lock_path + f".stale-{uuid.uuid4().hex}")
                             continue
                     except FileNotFoundError:
                         continue
@@ -109,6 +117,10 @@ class LocalSnapshotTable:
                     os.unlink(lock_path)
 
         return lock()
+
+    def _head_snapshot_id(self) -> str | None:
+        cur = self.current_snapshot()
+        return cur["snapshot"] if cur else None
 
     def history(self) -> list[str]:
         out = []
@@ -138,36 +150,48 @@ class LocalSnapshotTable:
             return self._commit(files, cur["snapshot"] if cur else None,
                                 "append")
 
+    def _commit_rewrite(self, write_fn, operation: str,
+                        max_retries: int = 3) -> str:
+        """Optimistic concurrency for content-dependent rewrites (the
+        Iceberg commit model): do the SLOW Spark rewrite of the current
+        snapshot UNLOCKED, then take the lock only to check the parent is
+        still HEAD and publish. If another writer committed meanwhile,
+        discard the orphan files and redo the rewrite against the new
+        HEAD — never hold the lock across a Spark job (a long rewrite
+        would look like a stale lock to waiters and get broken)."""
+        import shutil
+
+        for _ in range(max_retries):
+            parent = self._head_snapshot_id()
+            batch_dir, new_files = write_fn()
+            with self._commit_lock():
+                if self._head_snapshot_id() == parent:
+                    return self._commit(new_files, parent, operation)
+            shutil.rmtree(batch_dir, ignore_errors=True)   # lost the race
+        raise RuntimeError(
+            f"{operation} lost the optimistic-commit race "
+            f"{max_retries} times; table under heavy write contention")
+
     def merge_by_key(self, spark: SparkSession, src: DataFrame,
                      key: str) -> str:
         """MERGE semantics (INSERT OR REPLACE of cache_manager.py:100-111):
         matched target rows are replaced by source rows, unmatched source
-        rows are inserted. Implemented as anti-join + union rewrite, then
-        one atomic snapshot swap. The rewrite depends on current content,
-        so the whole read-rewrite-commit section holds the lock
-        (concurrent merges serialize instead of losing updates)."""
-        with self._commit_lock():
+        rows are inserted. Anti-join + union rewrite, committed with
+        optimistic retry (see _commit_rewrite)."""
+        def write_fn():
             cur_df = self.read(spark)
             if cur_df is None:
-                cur = self.current_snapshot()
-                batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-                src.write.mode("overwrite").parquet(batch_dir)
-                new_files = [os.path.join(batch_dir, f)
-                             for f in os.listdir(batch_dir)
-                             if f.endswith(".parquet")]
-                return self._commit(new_files,
-                                    cur["snapshot"] if cur else None,
-                                    "append")
-            kept = cur_df.join(src.select(key), key, "left_anti")
-            merged = kept.unionByName(src)
+                merged = src
+            else:
+                kept = cur_df.join(src.select(key), key, "left_anti")
+                merged = kept.unionByName(src)
             batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
             merged.write.mode("overwrite").parquet(batch_dir)
-            new_files = [os.path.join(batch_dir, f)
-                         for f in os.listdir(batch_dir)
-                         if f.endswith(".parquet")]
-            cur = self.current_snapshot()
-            return self._commit(new_files, cur["snapshot"] if cur else None,
-                                "merge")
+            return batch_dir, [os.path.join(batch_dir, f)
+                               for f in os.listdir(batch_dir)
+                               if f.endswith(".parquet")]
+
+        return self._commit_rewrite(write_fn, "merge")
 
     def read(self, spark: SparkSession,
              snapshot_id: str | None = None) -> DataFrame | None:
@@ -192,18 +216,25 @@ class LocalSnapshotTable:
         ``target_files`` files and commits the new list atomically —
         readers see either the old file set or the new one, never a mix.
         Old files stay on disk for time-travel until expired."""
-        with self._commit_lock():
+        if self.read(spark) is None:
+            # nothing to rewrite; keep the parent chain intact if any
+            # snapshot (even an empty one) exists
+            with self._commit_lock():
+                return self._commit([], self._head_snapshot_id(), "compact")
+
+        def write_fn():
             cur_df = self.read(spark)
-            if cur_df is None:
-                return self._commit([], None, "compact")
             batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+            if cur_df is None:          # racer emptied the table mid-retry
+                os.makedirs(batch_dir, exist_ok=True)
+                return batch_dir, []
             cur_df.repartition(target_files).write.mode("overwrite") \
                 .parquet(batch_dir)
-            new_files = [os.path.join(batch_dir, f)
-                         for f in os.listdir(batch_dir)
-                         if f.endswith(".parquet")]
-            cur = self.current_snapshot()
-            return self._commit(new_files, cur["snapshot"], "compact")
+            return batch_dir, [os.path.join(batch_dir, f)
+                               for f in os.listdir(batch_dir)
+                               if f.endswith(".parquet")]
+
+        return self._commit_rewrite(write_fn, "compact")
 
     def expire_snapshots(self, keep: int = 1) -> int:
         """Delete data files referenced ONLY by snapshots older than the

@@ -157,6 +157,13 @@ def start_stateful_dedup(stream_df: DataFrame,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # foreachBatch is at-least-once: a crash between append and the
+        # streaming checkpoint commit replays this batch_id on restart,
+        # so skip batches already in the table (idempotent append)
+        cur = results.read(batch_df.sparkSession)
+        if cur is not None and "_batch_id" in cur.columns \
+                and cur.where(F.col("_batch_id") == batch_id).limit(1).count():
+            return
         results.append(batch_df.withColumn("_batch_id", F.lit(batch_id)))
 
     writer = (flags.writeStream

@@ -354,3 +354,20 @@ def test_video_frame_sample_avi(spark):
     assert (got["w"] == 5).all() and (got["h"] == 6).all()
     px = imgcodec.decode(bytes(got.iloc[1]["bytes"]), "bmp")
     assert (px == frames[4]).all()                       # exact pixels
+
+
+def test_minhash_cap_report_surfaces_dropped_buckets(spark):
+    """return_report=True hands callers the skipped-bucket rows for the
+    audit table (no silent caps at the public API)."""
+    boiler = [(f"h{i:03d}", "click here to download the full image now")
+              for i in range(30)]
+    df = spark.createDataFrame(boiler, "image_id string, caption string")
+    pairs, hot = dedup.minhash_lsh_candidates(df, max_bucket=5,
+                                              return_report=True)
+    assert pairs.count() == 0
+    report = hot.collect()
+    assert len(report) >= 1
+    assert all(r["bucket_n"] == 30 for r in report)
+    # without a cap the report is an empty frame with the same schema
+    pairs2, hot2 = dedup.minhash_lsh_candidates(df, return_report=True)
+    assert hot2.count() == 0 and "bucket_n" in hot2.columns
