@@ -219,14 +219,14 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
     if max_bucket is not None:
         allb, hot = cap_buckets(allb, ["block", "key"], max_bucket)
     a, b = allb.alias("a"), allb.alias("b")
-    return (a.join(b, (F.col("a.block") == F.col("b.block"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"),
-                    F.col("a.simhash").alias("sig_a"),
-                    F.col("b.simhash").alias("sig_b"))
-            .distinct())
+    pairs = (a.join(b, (F.col("a.block") == F.col("b.block"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .distinct())
     if return_report:
         if hot is None:
             hot = allb.select("block", "key",

@@ -37,7 +37,14 @@ def cosine_topk(df: DataFrame, query_vec, k: int = 10,
         id_col,
         f"{_dot_expr(vec_col, qlit)} AS dp",
         f"{_dot_expr(vec_col, vec_col)} AS nn",
-    ).selectExpr(id_col, f"dp / (SQRT(nn) * CAST({qn!r} AS DOUBLE)) AS cos_sim")
+    ).selectExpr(
+        id_col,
+        # NULLIF guards zero-norm junk vectors: 0/0 = NaN and Spark
+        # sorts NaN ABOVE all real values in descending order, which
+        # would put undefined-similarity rows at the top of the top-k;
+        # NULL instead sorts last under desc (nulls-last default)
+        f"dp / (SQRT(NULLIF(nn, CAST(0.0 AS DOUBLE))) "
+        f"* CAST({qn!r} AS DOUBLE)) AS cos_sim")
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 

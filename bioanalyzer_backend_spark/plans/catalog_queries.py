@@ -231,9 +231,10 @@ def _q_embedding_neardup(d: str) -> str:
 WITH e AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bkt,
                   SQRT({dot_self}) AS nrm FROM embeddings),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND({dot_ab} / (a.nrm * b.nrm), 5) AS cos_sim
+             ROUND({dot_ab} / NULLIF(a.nrm * b.nrm, CAST(0.0 AS DOUBLE)),
+                   5) AS cos_sim
       FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.15
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= CAST(0.15 AS DOUBLE)
 ORDER BY cos_sim DESC, id_a, id_b
 """
 
@@ -269,7 +270,8 @@ def _q_confidence_boost(d: str) -> str:
     """A3 (gemini_qa.py:679-708): confidence mean with high-score boost —
     scores >= 0.8 weighted x1.2, mean over rules, clamped to 1.0."""
     terms = " + ".join(
-        f"(CASE WHEN score_{r} >= 0.8 THEN score_{r} * 1.2 "
+        f"(CASE WHEN score_{r} >= {sqlgen.fmt(0.8)} "
+        f"THEN score_{r} * {sqlgen.fmt(1.2)} "
         f"ELSE score_{r} END)" for r in spec.RULE_NAMES)
     return f"""
 WITH q AS ({sqlgen.quality_core_sql(d)})
@@ -600,8 +602,11 @@ WITH q AS (SELECT embedding AS qe, SQRT({dot_qq}) AS qn
 s AS (SELECT a.vec_id,
              {dot_ab} AS dp, {dot_aa} AS na, q.qn AS qn
       FROM embeddings a, q WHERE a.vec_id != 0)
-SELECT vec_id, ROUND(dp / (SQRT(na) * qn), 5) AS cos_sim
-FROM s ORDER BY ROUND(dp / (SQRT(na) * qn), 5) DESC, vec_id LIMIT 10
+SELECT vec_id,
+       ROUND(dp / (SQRT(NULLIF(na, CAST(0.0 AS DOUBLE))) * qn), 5) AS cos_sim
+FROM s
+ORDER BY ROUND(dp / (SQRT(NULLIF(na, CAST(0.0 AS DOUBLE))) * qn), 5) DESC,
+         vec_id LIMIT 10
 """
 
 

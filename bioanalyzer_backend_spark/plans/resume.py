@@ -5,8 +5,17 @@ Semantics inherited from the reference's cache-or-compute pattern
 upsert): work is split into deterministic id-hash groups; each group's
 results commit atomically (results + audit + checkpoint row); a re-run
 left-anti-joins the checkpoint table and processes only uncommitted
-groups. A crash between commits loses at most one in-flight group and
-never corrupts published state (snapshot atomicity in sources/catalog.py).
+groups.
+
+Crash-window discipline: a group commit is three single-table snapshot
+commits in the order results -> audit -> checkpoint, and each table's
+commit is atomic (sources/catalog.py). A crash BETWEEN them leaves the
+group's rows published without its checkpoint row; re-running the group
+would duplicate those rows, so ``reconcile`` ROLLS THE COMMIT FORWARD
+instead: a group whose rows are already in the results table gets its
+audit rows regenerated (audit_rows is a pure function of the result
+rows) and its checkpoint row appended — never reprocessed, never
+duplicated.
 
 At warehouse scale, groups map to Iceberg partitions and the driver loop
 becomes sequential staged jobs over bucket(image_id, N).
@@ -20,14 +29,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.skew import stable_salt
 from ..sources.catalog import LocalSnapshotTable
 from . import pipeline as pipe
 from .audit import audit_rows
 
 
 def group_of(id_col: str, n_groups: int):
-    """Deterministic group id: stable across runs/restarts (xxhash64)."""
-    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+    """Deterministic group id: stable across runs/restarts. Delegates to
+    operators/skew.stable_salt so the deterministic-partitioning primitive
+    lives in exactly one place."""
+    return stable_salt(id_col, n_groups)
 
 
 def committed_groups(spark: SparkSession, ckpt: LocalSnapshotTable) -> set[int]:
@@ -37,35 +49,76 @@ def committed_groups(spark: SparkSession, ckpt: LocalSnapshotTable) -> set[int]:
     return {r["part_id"] for r in df.select("part_id").distinct().collect()}
 
 
+def _published_groups(spark: SparkSession,
+                      results: LocalSnapshotTable) -> set[int]:
+    df = results.read(spark)
+    if df is None or "part_id" not in df.columns:
+        return set()
+    return {r["part_id"] for r in df.select("part_id").distinct().collect()}
+
+
+def reconcile(spark: SparkSession, results: LocalSnapshotTable,
+              audit: LocalSnapshotTable, ckpt: LocalSnapshotTable,
+              run_id: str) -> list[int]:
+    """Roll forward half-committed groups (rows published, checkpoint row
+    missing after a crash): regenerate their audit rows from the published
+    results and append the checkpoint row. Returns the groups repaired."""
+    half = sorted(_published_groups(spark, results)
+                  - committed_groups(spark, ckpt))
+    for g in half:
+        out = results.read(spark).where(F.col("part_id") == g)
+        audit.append(audit_rows(out, run_id, None))
+        n_rows = out.count()
+        ckpt.append(spark.createDataFrame(
+            [(g, run_id, n_rows, float(time.time()))],
+            "part_id int, run_id string, n_rows long, committed_at double"))
+    return half
+
+
 def run_with_resume(spark: SparkSession, images: DataFrame,
                     results: LocalSnapshotTable, audit: LocalSnapshotTable,
                     ckpt: LocalSnapshotTable, n_groups: int = 8,
                     run_id: str | None = None,
-                    fail_after: int | None = None) -> dict:
+                    fail_after: int | None = None,
+                    fail_between_commits: bool = False) -> dict:
     """Process all uncommitted groups; returns run stats.
 
-    ``fail_after`` aborts after that many group commits (test hook for the
-    kill/restart scenario of SURVEY.md section 5.5).
+    ``fail_after`` aborts after that many group commits; with
+    ``fail_between_commits`` the abort fires BETWEEN the results append
+    and the checkpoint append (test hooks for the kill/restart scenarios
+    of SURVEY.md section 5.5).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     tagged = images.withColumn("part_id", group_of("image_id", n_groups))
+    repaired = reconcile(spark, results, audit, ckpt, run_id)
     done = committed_groups(spark, ckpt)
     todo = [g for g in range(n_groups) if g not in done]
     n_committed = 0
     for g in todo:
         t0 = time.time()
         sub = tagged.filter(F.col("part_id") == g).drop("part_id")
-        out = pipe.quality_filter(sub)
-        out = out.withColumn("part_id", F.lit(g))
-        results.append(out)
-        wall_ms = (time.time() - t0) * 1000.0
-        audit.append(audit_rows(out, run_id, wall_ms))
-        n_rows = out.count()
-        ckpt.append(spark.createDataFrame(
-            [(g, run_id, n_rows, float(time.time()))],
-            "part_id int, run_id string, n_rows long, committed_at double"))
+        # one materialization feeds all three consumers (results sink,
+        # audit aggregation, row count) — uncached, the UDF-gated
+        # pipeline would execute three times per group
+        out = pipe.quality_filter(sub).withColumn("part_id", F.lit(g))
+        out = out.persist()
+        try:
+            results.append(out)
+            if fail_between_commits and n_committed + 1 >= (fail_after or 1):
+                raise RuntimeError(
+                    f"injected failure between commits of group {g}")
+            wall_ms = (time.time() - t0) * 1000.0
+            audit.append(audit_rows(out, run_id, wall_ms))
+            n_rows = out.count()          # cached — no recomputation
+            ckpt.append(spark.createDataFrame(
+                [(g, run_id, n_rows, float(time.time()))],
+                "part_id int, run_id string, n_rows long, committed_at double"))
+        finally:
+            out.unpersist()
         n_committed += 1
-        if fail_after is not None and n_committed >= fail_after:
+        if fail_after is not None and not fail_between_commits \
+                and n_committed >= fail_after:
             raise RuntimeError(f"injected failure after {n_committed} groups")
     return {"run_id": run_id, "groups_done": len(done) + n_committed,
-            "groups_total": n_groups, "newly_committed": n_committed}
+            "groups_total": n_groups, "newly_committed": n_committed,
+            "repaired_groups": repaired}

@@ -216,12 +216,6 @@ class LocalSnapshotTable:
         ``target_files`` files and commits the new list atomically —
         readers see either the old file set or the new one, never a mix.
         Old files stay on disk for time-travel until expired."""
-        if self.read(spark) is None:
-            # nothing to rewrite; keep the parent chain intact if any
-            # snapshot (even an empty one) exists
-            with self._commit_lock():
-                return self._commit([], self._head_snapshot_id(), "compact")
-
         def write_fn():
             cur_df = self.read(spark)
             batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)

@@ -239,24 +239,24 @@ def count_exprs(d: str) -> list[str]:
 def score_exprs(d: str) -> list[str]:
     sentinels = ", ".join(slit(s) for s in spec.NULL_SENTINELS if s != "")
     return [
-        f"""CASE WHEN n = 0 THEN 0.0
-              WHEN n < {spec.LEN_FULL_LO} THEN (n / {fmt(spec.LEN_FULL_LO)}) * 0.5
-              WHEN n <= {spec.LEN_FULL_HI} THEN 1.0
-              ELSE GREATEST(0.0, 1.0 - (n - {spec.LEN_FULL_HI}) / {fmt(spec.LEN_DECAY)}) END AS score_len""",
+        f"""CASE WHEN n = 0 THEN {fmt(0.0)}
+              WHEN n < {spec.LEN_FULL_LO} THEN (n / {fmt(spec.LEN_FULL_LO)}) * {fmt(0.5)}
+              WHEN n <= {spec.LEN_FULL_HI} THEN {fmt(1.0)}
+              ELSE GREATEST({fmt(0.0)}, {fmt(1.0)} - (n - {spec.LEN_FULL_HI}) / {fmt(spec.LEN_DECAY)}) END AS score_len""",
         # NULLIF keeps ANSI-mode Spark from raising DIVIDE_BY_ZERO on empty
         # captions: NULL comparison -> NULL -> CASE falls through to ELSE.
-        f"""LEAST(1.0, n_tok / {fmt(spec.WORD_TOK_FULL)}) *
+        f"""LEAST({fmt(1.0)}, n_tok / {fmt(spec.WORD_TOK_FULL)}) *
            CASE WHEN n_tok > 0
                  AND CAST(n_nonspace AS DOUBLE) / NULLIF(n_tok, 0) >= {fmt(spec.WORD_AVG_LEN_LO)}
                  AND CAST(n_nonspace AS DOUBLE) / NULLIF(n_tok, 0) <= {fmt(spec.WORD_AVG_LEN_HI)}
-                THEN 1.0 ELSE {fmt(spec.WORD_AVG_LEN_PENALTY)} END AS score_word""",
-        f"""CASE WHEN n_tok = 0 THEN 0.0
-              WHEN n_tok < {spec.REP_MIN_TOKENS} THEN 1.0
-              ELSE LEAST(1.0, (CAST(n_utok AS DOUBLE) / n_tok) * {fmt(spec.REP_BOOST)}) END AS score_rep""",
-        f"""CASE WHEN n_nonspace = 0 THEN 0.0
-              ELSE LEAST(1.0, (CAST(n_alpha AS DOUBLE) / n_nonspace) * {fmt(spec.ALPHA_BOOST)}) END AS score_alpha""",
-        f"""CASE WHEN n_tok = 0 THEN 0.0
-              ELSE LEAST(1.0, {fmt(spec.STOP_FLOOR)} + {fmt(spec.STOP_BOOST)} * (CAST(n_stop AS DOUBLE) / n_tok)) END AS score_stop""",
+                THEN {fmt(1.0)} ELSE {fmt(spec.WORD_AVG_LEN_PENALTY)} END AS score_word""",
+        f"""CASE WHEN n_tok = 0 THEN {fmt(0.0)}
+              WHEN n_tok < {spec.REP_MIN_TOKENS} THEN {fmt(1.0)}
+              ELSE LEAST({fmt(1.0)}, (CAST(n_utok AS DOUBLE) / n_tok) * {fmt(spec.REP_BOOST)}) END AS score_rep""",
+        f"""CASE WHEN n_nonspace = 0 THEN {fmt(0.0)}
+              ELSE LEAST({fmt(1.0)}, (CAST(n_alpha AS DOUBLE) / n_nonspace) * {fmt(spec.ALPHA_BOOST)}) END AS score_alpha""",
+        f"""CASE WHEN n_tok = 0 THEN {fmt(0.0)}
+              ELSE LEAST({fmt(1.0)}, {fmt(spec.STOP_FLOOR)} + {fmt(spec.STOP_BOOST)} * (CAST(n_stop AS DOUBLE) / n_tok)) END AS score_stop""",
         f"CASE WHEN lower(t) IN ({sentinels}) OR t = '' THEN TRUE ELSE FALSE END AS is_sentinel",
     ]
 

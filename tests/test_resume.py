@@ -74,3 +74,33 @@ def test_merge_by_key_upsert(spark, tmp_path):
         "k")
     got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
     assert got == {1: "a", 2: "B", 3: "C"}
+
+
+def test_crash_between_commits_rolls_forward(spark, synth_images_df,
+                                             tmp_path, artifacts_dir):
+    """Crash AFTER results.append but BEFORE the checkpoint row: the
+    restart must roll the half-committed group forward (regenerate audit,
+    append checkpoint) — NOT reprocess it, which would duplicate rows."""
+    df = synth_images_df.limit(300)
+    res, aud, ck = _tables(tmp_path / "half")
+
+    with pytest.raises(RuntimeError, match="between commits"):
+        run_with_resume(spark, df, res, aud, ck, n_groups=4,
+                        fail_between_commits=True, fail_after=1)
+    # rows of the crashed group ARE published, checkpoint row is NOT
+    assert res.read(spark) is not None
+    assert len(resume.committed_groups(spark, ck)) == 0
+
+    stats = run_with_resume(spark, df, res, aud, ck, n_groups=4)
+    assert len(stats["repaired_groups"]) == 1
+    assert stats["newly_committed"] == 3
+
+    # no duplicates: every image_id appears exactly once
+    got = res.read(spark)
+    assert got.count() == df.count()
+    assert got.select("image_id").distinct().count() == df.count()
+    # the repaired group's audit rows were regenerated under the
+    # repairing run's id (audit part_id is the PHYSICAL partition id,
+    # not the group id — see plans/audit.py)
+    rid = stats["run_id"]
+    assert aud.read(spark).where(f"run_id = '{rid}'").count() > 0
