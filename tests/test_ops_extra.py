@@ -371,3 +371,15 @@ def test_minhash_cap_report_surfaces_dropped_buckets(spark):
     # without a cap the report is an empty frame with the same schema
     pairs2, hot2 = dedup.minhash_lsh_candidates(df, return_report=True)
     assert hot2.count() == 0 and "bucket_n" in hot2.columns
+
+
+def test_simhash_cap_report_surfaces_dropped_buckets(spark):
+    """simhash twin of the minhash cap-report contract."""
+    boiler = [(f"s{i:03d}", "identical template caption body") for i in range(25)]
+    df = spark.createDataFrame(boiler, "image_id string, caption string")
+    pairs, hot = dedup.simhash_candidates(df, max_bucket=5,
+                                          return_report=True)
+    assert pairs.count() == 0
+    assert hot.count() >= 1 and "bucket_n" in hot.columns
+    pairs2, hot2 = dedup.simhash_candidates(df, return_report=True)
+    assert hot2.count() == 0
