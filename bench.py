@@ -166,6 +166,14 @@ def main_scaling() -> None:
     one level's subprocess would otherwise corrupt the ratio — observed
     spread on identical runs: 32k-55k img/s at 8 cores."""
     _images_path(N_SCALING)   # generate cache once, outside timing
+    try:
+        load1 = os.getloadavg()[0]
+        if load1 > 4.0:
+            print(f"WARNING: load average {load1:.1f} — outside load will "
+                  f"depress the measured scaling ratio; rerun when calm",
+                  file=sys.stderr)
+    except OSError:
+        pass
     lo, hi = SCALING_CPUS
     results: dict[int, dict] = {}
     for cpus in (lo, hi, lo, hi):
