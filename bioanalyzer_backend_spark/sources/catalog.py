@@ -151,7 +151,7 @@ class LocalSnapshotTable:
                                 "append")
 
     def _commit_rewrite(self, write_fn, operation: str,
-                        max_retries: int = 3) -> str:
+                        max_retries: int = 8) -> str:
         """Optimistic concurrency for content-dependent rewrites (the
         Iceberg commit model): do the SLOW Spark rewrite of the current
         snapshot UNLOCKED, then take the lock only to check the parent is
@@ -161,13 +161,17 @@ class LocalSnapshotTable:
         would look like a stale lock to waiters and get broken)."""
         import shutil
 
-        for _ in range(max_retries):
+        for attempt in range(max_retries):
             parent = self._head_snapshot_id()
             batch_dir, new_files = write_fn()
             with self._commit_lock():
                 if self._head_snapshot_id() == parent:
                     return self._commit(new_files, parent, operation)
             shutil.rmtree(batch_dir, ignore_errors=True)   # lost the race
+            # linear backoff desynchronizes contending writers (every
+            # loser otherwise re-reads HEAD at the same instant and the
+            # same writer can starve repeatedly)
+            time.sleep(0.05 * (attempt + 1))
         raise RuntimeError(
             f"{operation} lost the optimistic-commit race "
             f"{max_retries} times; table under heavy write contention")

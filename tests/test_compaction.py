@@ -89,3 +89,33 @@ def test_concurrent_appends_lose_no_rows(spark, tmp_path):
     got = tbl.read(spark)
     assert got.count() == 800
     assert got.select("k").distinct().count() == 800
+
+
+def test_concurrent_merges_converge(spark, tmp_path):
+    """Optimistic commits under contention: concurrent merge_by_key
+    writers with disjoint keys must all land (losers retry against the
+    new HEAD; nothing is silently dropped)."""
+    import threading
+
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(-1, "seed")], "k int, v string"))
+    errs = []
+
+    def worker(i):
+        try:
+            src = spark.createDataFrame(
+                [(i * 10 + j, f"w{i}") for j in range(5)], "k int, v string")
+            tbl.merge_by_key(spark, src, "k")
+        except Exception as e:   # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errs
+    got = tbl.read(spark)
+    assert got.count() == 1 + 5 * 5
+    assert got.select("k").distinct().count() == 26
