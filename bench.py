@@ -219,7 +219,7 @@ Same input, same job, two parallelism levels (sandbox stand-in for N vs
 | local[{r['cpus_4n']}] (4N) | {r['x4_images_per_sec']} |
 
 * speedup {r['cpus_n']} -> {r['cpus_4n']} cores: **{r['speedup']}x**
-* scaling efficiency (speedup / 4): **{r['scaling_efficiency']}**
+* scaling efficiency (speedup / {r['cpus_4n'] // r['cpus_n']}): **{r['scaling_efficiency']}**
   (target >= 0.8 per BASELINE.json)
 
 Why N=2 vs 4N=8 cores: a real 4N-executor cluster has 4x the memory

@@ -284,6 +284,42 @@ class IcebergTable:
         return spark.read.format("iceberg").load(self.identifier)
 
 
+class IdempotentBatchAppender:
+    """At-least-once -> exactly-once adapter for foreachBatch sinks.
+
+    foreachBatch replays a micro-batch after a crash between the table
+    append and the streaming checkpoint commit. Appending blindly
+    duplicates that batch; re-reading the whole table per batch to probe
+    ``_batch_id`` costs O(files) per trigger. This helper seeds the seen
+    set from the table ONCE (covers crash-restart replays, the only case
+    an in-memory set misses) and answers later batches from memory."""
+
+    def __init__(self, table):
+        self.table = table
+        self._seen: set[int] | None = None
+
+    def _seed(self, spark: SparkSession) -> set[int]:
+        df = self.table.read(spark)
+        if df is None or "_batch_id" not in df.columns:
+            return set()
+        return {r[0] for r in df.select("_batch_id").distinct().collect()}
+
+    def append(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """Append unless this batch id already committed; True if written.
+        The seen-check runs BEFORE isEmpty so a replayed batch skips
+        without evaluating the (possibly UDF-heavy) batch plan at all."""
+        if self._seen is None:
+            self._seen = self._seed(batch_df.sparkSession)
+        if batch_id in self._seen:
+            return False
+        if batch_df.isEmpty():
+            return False
+        from pyspark.sql import functions as F
+        self.table.append(batch_df.withColumn("_batch_id", F.lit(batch_id)))
+        self._seen.add(batch_id)
+        return True
+
+
 def have_iceberg(spark: SparkSession) -> bool:
     try:
         spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
@@ -293,8 +329,18 @@ def have_iceberg(spark: SparkSession) -> bool:
 
 
 def open_table(spark: SparkSession, location: str):
-    """Location 'catalog.db.tbl' -> Iceberg when the runtime is present,
-    else a filesystem path -> LocalSnapshotTable."""
-    if not location.startswith("/") and have_iceberg(spark):
-        return IcebergTable(location)
+    """Location routing by FORM, not by what happens to be on the
+    classpath: a dotted identifier with no path separators
+    ('catalog.db.tbl') is an Iceberg table id (requires the runtime jar);
+    anything containing '/' or a URI scheme is a filesystem path ->
+    LocalSnapshotTable. A slash-bearing string must never silently flip
+    to an Iceberg identifier just because the jar is present."""
+    is_path = "/" in location or "://" in location
+    if not is_path:
+        if have_iceberg(spark):
+            return IcebergTable(location)
+        raise ValueError(
+            f"{location!r} looks like an Iceberg table identifier but no "
+            f"Iceberg runtime is on the classpath; pass a filesystem path "
+            f"or add --packages org.apache.iceberg:iceberg-spark-runtime-*")
     return LocalSnapshotTable(location)

@@ -42,16 +42,12 @@ def start_quality_filter_stream(stream_df: DataFrame,
     unbounded state): exact cross-batch dedup belongs to the batch
     compaction pass, mirroring the reference's cache-then-recompute split.
     """
+    from ..sources.catalog import IdempotentBatchAppender
+    appender = IdempotentBatchAppender(results)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once; the replay check must survive a
-        # PROCESS restart, so consult the results table itself (an
-        # in-memory seen-set misses exactly the crash-replay case)
-        cur = results.read(batch_df.sparkSession)
-        if cur is not None and "_batch_id" in cur.columns \
-                and cur.where(F.col("_batch_id") == batch_id).limit(1).count():
-            return
-        out = pipe.quality_filter(batch_df, with_dedup=False)
-        results.append(out.withColumn("_batch_id", F.lit(batch_id)))
+        appender.append(pipe.quality_filter(batch_df, with_dedup=False),
+                        batch_id)
 
     writer = (stream_df.writeStream
               .foreachBatch(sink)

@@ -109,10 +109,16 @@ def _make_dedup_state_fn(state_ttl_ms: int):
             state.remove()
             return
         canon = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            # min-id order inside a batch so a group fully contained in one
-            # micro-batch reproduces the batch dedup's min-id canonical
-            pdf = pdf.sort_values("image_id")
+        # a group larger than the Arrow batch size arrives as SEVERAL
+        # chunks — concat before sorting, else the canonical would be the
+        # min id of whichever chunk arrives first, diverging from the
+        # batch dedup's group-min canonical. Rows here are slim
+        # (id, phash) pairs, so one group fits comfortably in memory.
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("image_id")
+        if len(pdf):
             flags = []
             for iid in pdf["image_id"]:
                 if canon is None:
@@ -152,19 +158,12 @@ def start_stateful_dedup(stream_df: DataFrame,
                          checkpoint_dir: str,
                          state_ttl_ms: int = 0,
                          available_now: bool = True):
+    from ..sources.catalog import IdempotentBatchAppender
     flags = stateful_dedup(stream_df, state_ttl_ms)
+    appender = IdempotentBatchAppender(results)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # foreachBatch is at-least-once: a crash between append and the
-        # streaming checkpoint commit replays this batch_id on restart,
-        # so skip batches already in the table (idempotent append)
-        cur = results.read(batch_df.sparkSession)
-        if cur is not None and "_batch_id" in cur.columns \
-                and cur.where(F.col("_batch_id") == batch_id).limit(1).count():
-            return
-        results.append(batch_df.withColumn("_batch_id", F.lit(batch_id)))
+        appender.append(batch_df, batch_id)
 
     writer = (flags.writeStream
               .outputMode("update")

@@ -57,9 +57,16 @@ def _load_input(spark: SparkSession, args) -> tuple:
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
         return df, f"synth:{args.synth}"
     from bioanalyzer_backend_spark.sources.catalog import open_table
-    if args.input.startswith("/") or args.input.startswith("file:"):
+    # route by FORM: any path-shaped input (absolute/relative/URI —
+    # s3://, hdfs://, file:) is a parquet location; only a dotted
+    # identifier with no separators is an Iceberg table id
+    if "/" in args.input or args.input.startswith("file:") \
+            or args.input.endswith(".parquet"):
         return spark.read.parquet(args.input), args.input
-    return open_table(spark, args.input).read(spark), args.input
+    df = open_table(spark, args.input).read(spark)
+    if df is None:
+        raise SystemExit(f"input table {args.input!r} is empty or missing")
+    return df, args.input
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -96,10 +103,22 @@ def main(argv: list[str] | None = None) -> None:
         n_rows = res_df.count() if res_df is not None else 0
         n_kept = (res_df.where("keep").count()
                   if res_df is not None else 0)
+        # throughput counts only rows committed by THIS run (checkpoint
+        # rows carry run_id + n_rows) — a resumed run that skipped
+        # already-committed groups must not claim their rows against its
+        # own wall time
+        ck_df = ckpt.read(spark)
+        rows_this_run = 0
+        if ck_df is not None:
+            got = (ck_df.where(ck_df.run_id == stats["run_id"])
+                   .agg({"n_rows": "sum"}).collect()[0][0])
+            rows_this_run = int(got or 0)
         print(json.dumps({
             "input": src, "wall_sec": round(wall, 2),
             "rows_total": n_rows, "rows_kept": n_kept,
-            "images_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+            "rows_this_run": rows_this_run,
+            "images_per_sec": (round(rows_this_run / wall, 1)
+                               if wall > 0 else None),
             **stats,
         }))
     finally:

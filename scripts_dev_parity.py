@@ -40,6 +40,14 @@ def compare(name, sdf, ddf):
 
 def main():
     only = sys.argv[1:] or None
+    reg = registry()
+    if only:
+        unknown = [n for n in only if n not in reg]
+        if unknown:
+            # a typo must NOT produce a silent '0 ok, 0 fail' green exit
+            print(f"unknown query name(s): {unknown}; "
+                  f"known: {sorted(reg)}")
+            sys.exit(2)
     spark = build_session("parity-dev", master="local[8]")
     con = duckdb.connect()
     for t in ("documents", "events", "lineitem", "orders", "customer",
@@ -47,7 +55,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     n_ok = n_fail = 0
-    for name, (spark_fn, duck_sql) in registry().items():
+    for name, (spark_fn, duck_sql) in reg.items():
         if only and name not in only:
             continue
         t0 = time.time()
