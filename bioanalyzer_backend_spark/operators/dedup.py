@@ -55,6 +55,24 @@ def shingles(df: DataFrame, text_col: str, id_col: str,
     return sh.select("_id", F.explode("sh").alias("shingle"))
 
 
+# Persisted signature frames from cap_buckets, released via
+# release_cap_caches() once the caller has materialized its candidates
+# (the persist exists so the expensive shingle+md5 lineage is evaluated
+# once for counts + anti-join + self-join, not once per branch).
+_CAP_CACHES: list[DataFrame] = []
+
+
+def release_cap_caches() -> int:
+    """Unpersist every signature frame cached by cap_buckets since the
+    last release. Call after materializing candidate pairs/reports —
+    candidates are lazy, so cap_buckets itself cannot know when its
+    cache stops being needed. Returns the number released."""
+    n = len(_CAP_CACHES)
+    while _CAP_CACHES:
+        _CAP_CACHES.pop().unpersist()
+    return n
+
+
 def cap_buckets(sig: DataFrame, keys: list[str],
                 max_bucket: int) -> tuple[DataFrame, DataFrame]:
     """Mega-bucket defusal for LSH-style self-joins.
@@ -66,15 +84,20 @@ def cap_buckets(sig: DataFrame, keys: list[str],
     buckets above a cap and REPORT them (no silent truncation): returns
     ``(filtered_sig, dropped_report)`` where the report carries one row
     per skipped bucket with its size, suitable for the audit table.
+
+    The signature frame is persisted (counts agg + anti-join probe +
+    the caller's self-join would otherwise re-evaluate the giant HOF
+    lineage per branch); the cache is registered for
+    ``release_cap_caches()`` — call it once candidates are materialized.
+    No broadcast hint on the hot-bucket anti-join: the over-cap bucket
+    set is unbounded at 10^12 rows (up to rows/max_bucket entries), so
+    AQE decides at runtime from the measured size.
     """
-    # the signature lineage (shingle+md5 HOFs) feeds the counts agg, the
-    # anti-join probe, AND the caller's self-join — persist it so the
-    # expensive expression is evaluated once, not once per branch
-    # (CLAUDE.md multi-branch recompute landmine)
     sig = sig.persist()
+    _CAP_CACHES.append(sig)
     counts = sig.groupBy(*keys).agg(F.count("*").alias("bucket_n"))
     hot = counts.where(F.col("bucket_n") > max_bucket)
-    kept = sig.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    kept = sig.join(hot.select(*keys), keys, "left_anti")
     return kept, hot
 
 

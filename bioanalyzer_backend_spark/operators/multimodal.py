@@ -1,12 +1,14 @@
 """Multimodal column operators: images as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, Arrow batch shape, mapInPandas
-signatures, error-row materialization) is real and tested; the pixel
-codecs are the repo's own pure-numpy BMP/PPM (datagen/imgcodec.py) since
-no imaging libs exist in the sandbox; audio WAV/PCM16 decodes with a
-pure-numpy RIFF parser the same way. Formats beyond bmp/ppm/wav and the
-video frame-sampler are explicit stubs (NotImplementedError) with the
-production schema already wired.
+signatures, error-row materialization) is real and tested, and so are
+the decoders for every uncompressed container: images via the repo's own
+pure-numpy BMP/PPM codec (datagen/imgcodec.py — no imaging libs exist in
+the sandbox), audio via a pure-numpy RIFF/WAVE PCM16 parser, video via a
+pure-numpy uncompressed-AVI (RGB24) frame sampler. Compressed codecs
+(JPEG/MP3/H.264...) surface as error rows rather than stubs — the
+pipeline semantics (decode-or-error, feature extraction, resize, frame
+sampling) are fully exercised end to end.
 
 Error semantics follow the reference's error-row materialization
 (app/services/data_retrieval.py:395-408): a row that fails to decode
@@ -126,7 +128,8 @@ DUP_VERIFY_SCHEMA = ("phash long, image_id string, canonical_id string, "
 
 
 def verify_dup_groups(df: DataFrame, psnr_min: float = 40.0,
-                      max_group: int = 1024) -> DataFrame:
+                      max_group: int = 1024,
+                      broadcast_hint: bool = False) -> DataFrame:
     """Pixel-level verification of phash dup groups via grouped-map
     ``applyInPandas`` — a phash collision is only a CANDIDATE duplicate;
     the keep/drop decision needs the decoded-pixel invariant
@@ -150,7 +153,15 @@ def verify_dup_groups(df: DataFrame, psnr_min: float = 40.0,
     multi = (slim.groupBy("phash").agg(F.count("*").alias("_n"))
              .where((F.col("_n") > 1) & (F.col("_n") <= max_group))
              .select("phash"))
-    cand = slim.join(F.broadcast(multi), "phash")
+    # No broadcast hint by default: ``multi`` is the set of multi-member
+    # phash groups, unbounded at crawl scale (billions of rows at 10^12
+    # images would OOM the driver under a forced broadcast). AQE measures
+    # the materialized set at runtime and broadcasts only when it is
+    # actually small; callers that know the group count is bounded may
+    # force the hint.
+    if broadcast_hint:
+        multi = F.broadcast(multi)
+    cand = slim.join(multi, "phash")
 
     def gp(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("image_id").reset_index(drop=True)
@@ -182,7 +193,8 @@ def verify_dup_groups(df: DataFrame, psnr_min: float = 40.0,
 
 
 # --------------------------------------------------------------------------
-# stubs — schema-complete, deliberately unimplemented in this sandbox
+# audio / video: pure-numpy parsers for uncompressed containers
+# (WAV/PCM16, AVI/RGB24); compressed codecs -> error rows
 # --------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = ("clip_id string, ok boolean, err string, "

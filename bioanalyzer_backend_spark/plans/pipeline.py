@@ -90,25 +90,32 @@ def apply_final_keep(df: DataFrame) -> DataFrame:
 
 
 def apply_dedup_flag(df: DataFrame, key: str = "phash",
-                     id_col: str = "image_id") -> DataFrame:
+                     id_col: str = "image_id",
+                     broadcast_hint: bool = False) -> DataFrame:
     """is_dup: non-canonical rows of a phash group (canonical = min id).
 
-    Two-phase so the binary `bytes` column never enters a shuffle
+    Two-phase so the binary `bytes` column never enters a network shuffle
     (SURVEY.md section 4, "binary-column hygiene"): canonical ids come
     from ``groupBy(phash).min(id)`` over a two-column projection — an
     algebraic aggregate with map-side partial combine, so a hot phash
     (mass-duplicated image) reduces to one row per map task instead of
-    concentrating every duplicate row in a single window reducer. At
-    warehouse scale the input is bucketed by bucket(phash, N), making the
-    agg shuffle-free and the probe a bucket-local join; a duplicate-group
-    frame too big to broadcast means dropping the hint and letting AQE
-    plan the (still bytes-free, phash-bucketed) join.
+    concentrating every duplicate row in a single window reducer.
 
-    Only rows inside multi-row phash groups can be duplicates (a few % of
-    a crawl), so only THOSE groups' (phash, canonical_id) pairs are
-    broadcast, and they join the main frame directly on phash — one
-    sub-job (agg -> filter -> broadcast), one probe, zero join-backs on
-    id. is_dup falls out as ``id != canonical`` on the probe side, so no
+    Join-strategy gating (the 10^12-row case): ``dup_groups`` is the set
+    of multi-member phash groups — a few % of a crawl, but at 10^12 rows
+    that can still be billions of (phash, canon) pairs, so an
+    UNCONDITIONAL broadcast hint would OOM the driver. Default is
+    therefore NO hint: AQE measures the materialized build side at
+    runtime and picks broadcast when it is actually small (and a local
+    shuffle read on the probe side, so small-scale plans stay
+    bytes-shuffle-free — asserted in tests/test_plans_explain.py). At
+    warehouse scale the input is bucketed by bucket(phash, N), making
+    the agg shuffle-free and the probe a bucket-local join with no
+    exchange on either side. Callers that KNOW the group set is bounded
+    (e.g. post-cap pipelines) may force the hint with
+    ``broadcast_hint=True``.
+
+    is_dup falls out as ``id != canonical`` on the probe side, so no
     second pass over the input exists at all.
     """
     slim = df.select(id_col, key)
@@ -116,7 +123,9 @@ def apply_dedup_flag(df: DataFrame, key: str = "phash",
                   .agg(F.min(id_col).alias("_canon"), F.count("*").alias("_n"))
                   .where(F.col("_n") > 1)
                   .select(key, "_canon"))
-    out = df.join(F.broadcast(dup_groups), key, "left")
+    if broadcast_hint:
+        dup_groups = F.broadcast(dup_groups)
+    out = df.join(dup_groups, key, "left")
     return (out
             .withColumn("is_dup",
                         F.col("_canon").isNotNull()

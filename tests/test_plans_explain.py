@@ -59,14 +59,39 @@ def test_core_rules_run_inside_wholestage_codegen(spark):
 
 
 def test_dedup_probe_never_shuffles_bytes(spark, synth_images_df):
-    """Binary-column hygiene: the only Exchange in the dedup plan carries
-    the slim (phash, id) projection, never the image bytes."""
+    """Binary-column hygiene: in the FINALIZED adaptive plan (AQE picks
+    the probe-join strategy at runtime now that the hint is gated) no
+    hashpartitioning Exchange carries the image bytes — the dup-group
+    build side broadcasts and the agg shuffles only (phash, id)."""
     out = P.apply_dedup_flag(synth_images_df)
+    out.collect()                       # finalize the adaptive plan
     plan = _plan(out)
-    assert "BroadcastExchange" in plan
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan  # AQE chose broadcast from size
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "bytes" not in line
+
+
+def test_dedup_broadcast_hint_is_gated(spark, synth_images_df):
+    """Default = NO broadcast hint (AQE decides from the measured size —
+    an unconditional hint OOMs the driver at 10^12 rows);
+    broadcast_hint=True forces it. Proven by disabling auto-broadcast:
+    the default plan falls back to a non-broadcast join, the hinted one
+    still broadcasts."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = synth_images_df.select("image_id", "phash")
+        plain = _plan(P.apply_dedup_flag(df))
+        hinted = _plan(P.apply_dedup_flag(df, broadcast_hint=True))
+        assert "BroadcastHashJoin" not in plain
+        assert "BroadcastHashJoin" in hinted
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
 def test_cheap_filter_stays_below_udf_barrier(spark, artifacts_dir):
