@@ -92,6 +92,37 @@ def test_minhash_candidates_then_jaccard_verify(spark):
     assert ("d1", "d3") not in got            # verify kills false positives
 
 
+def test_minhash_banding_prunes_mid_similarity_candidates(spark):
+    """The r=4 banding's whole point at 10^12 rows: mid-similarity pairs
+    (Jaccard ~0.3-0.5, far below the 0.8 verify bar) must mostly NOT
+    become candidates, while near-identical pairs still surface. r=1
+    (one minhash per band, the old scheme) admits candidates from
+    s ~= 0.16 and floods the verify stage; r=4 raises the S-curve
+    threshold to ~0.71."""
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    # 20 docs sharing a sliding half-window of vocabulary: adjacent docs
+    # overlap heavily in tokens but share few 3-gram shingles exactly ->
+    # a mid-similarity mesh
+    for i in range(20):
+        toks = [words[(i + j) % 20] for j in range(12)]
+        rows.append((f"m{i:02d}", " ".join(toks + toks[:4])))
+    # one near-identical pair (Jaccard ~0.9)
+    base = ("a scenic view of mountains under a clear blue sky with green "
+            "trees and a quiet lake in the foreground near the old bridge")
+    rows += [("hi0", base), ("hi1", base.replace("bridge", "tower"))]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+
+    loose = {(r.id_a, r.id_b) for r in
+             dedup.minhash_lsh_candidates(df, n_rows=1).collect()}
+    tight = {(r.id_a, r.id_b) for r in
+             dedup.minhash_lsh_candidates(df, n_rows=4).collect()}
+    assert ("hi0", "hi1") in tight              # high-J pair survives
+    assert len(tight) < len(loose)              # mid-J flood pruned
+    assert tight <= loose                       # r=4 only removes
+
+
 def test_exact_dedup_keeps_min_id(spark):
     rows = [("i3", 7), ("i1", 7), ("i2", 9)]
     df = spark.createDataFrame(rows, "image_id string, phash long")
