@@ -16,6 +16,8 @@ id (broadcast-able) — see plans/pipeline.apply_dedup_flag.
 
 from __future__ import annotations
 
+from itertools import chain
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -195,36 +197,161 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "caption",
 # --------------------------------------------------------------------------
 
 _SIMHASH_BITS = 64
-_MULT = np.uint64(1099511628211)       # FNV-ish, deterministic
-_OFFS = np.uint64(14695981039346656037)
+
+# token -> 64-bit md5-slice hash, memoized across Arrow batches (caption
+# vocabularies are tiny relative to row counts; hashlib.md5 is C-speed but
+# the win is hashing each DISTINCT token once per worker, not once per row)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 20
+# max padded (row x token) slots per vote-tally chunk (x64 bytes gathered)
+_VOTE_BUDGET = 1 << 22
 
 
-def _token_hash64(tok: str) -> np.uint64:
-    h = _OFFS
-    for byte in tok.encode("utf-8"):
-        h = np.uint64((int(h) ^ byte) * int(_MULT) % (1 << 64))
+def _token_hash64(tok: str) -> int:
+    """First 16 md5 hex chars as a uint64 — the SAME dialect-portable
+    hash family as sqlgen.md5_hash32/hex_hash32 (hi 8 hex = bits 63..32,
+    lo 8 hex = bits 31..0), so the SQL twin in catalog_queries
+    (_q_simhash64) reproduces these signatures exactly and the driver's
+    DuckDB oracle checks the UDF end to end."""
+    import hashlib
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+        if len(_TOKEN_HASH_CACHE) < _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE[tok] = h
     return h
 
 
+def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Batch tokenizer, bit-identical to reference_impl.tokenize per row
+    but executed corpus-at-once: rows are joined with a ``\\x01``
+    sentinel (not whitespace, not [a-z0-9] — it splits into its own
+    token and later trims to "" like any empty), ONE C-level re.split
+    tokenizes the whole batch, and lower/punct-trim run on the
+    VOCABULARY (lowercasing never creates or removes ASCII whitespace,
+    so it commutes with the split; sql_trim only ever produced empty
+    edge tokens, which are dropped anyway). Returns
+    (row_of, tok_codes, trim_uniq) for non-empty trimmed tokens; NOT
+    per-row-distinct — callers dedup (row, code) pairs themselves."""
+    from ..rules.reference_impl import _SPLIT, _TOKTRIM, tokenize
+    n_rows = len(texts)
+    vals = texts.fillna("").tolist()
+    if any(not isinstance(t, str) for t in vals):
+        vals = [t if isinstance(t, str) else str(t) for t in vals]
+    if any("\x00" in t or "\x01" in t for t in vals):
+        # Slow exact path: pd.factorize's string hashtable compares
+        # NUL-terminated C strings, conflating "a\x00b" with "a" — any
+        # batch with control chars that could corrupt coding or row
+        # boundaries is tokenized per row with Python dict coding.
+        code_of: dict[str, int] = {}
+        rows, cods = [], []
+        for r, t in enumerate(vals):
+            for tok in set(tokenize(t)):
+                cods.append(code_of.setdefault(tok, len(code_of)))
+                rows.append(r)
+        return (np.asarray(rows, dtype=np.int64),
+                np.asarray(cods, dtype=np.int64),
+                np.asarray(list(code_of), dtype=object))
+    # "\n\x01\n" keeps the sentinel a standalone token (whitespace on
+    # both sides — a bare sentinel would glue to neighbour tokens); SOH
+    # is NUL-free (hashtable-safe) and trims to "" like any punct token
+    flat = np.asarray(_SPLIT.split("\n\x01\n".join(vals)), dtype=object)
+    raw_codes, raw_uniq = pd.factorize(flat)
+    # NB: `raw_uniq == "\x01"` is unreliable (numpy coerces the
+    # comparand to a U-dtype scalar) — locate with Python equality
+    sent_code = next((i for i, u in enumerate(raw_uniq) if u == "\x01"),
+                     -1)
+    if sent_code >= 0:
+        is_sent = raw_codes == sent_code
+        pos = np.flatnonzero(is_sent)
+        bounds = np.concatenate((np.int64([-1]), pos,
+                                 np.int64([flat.size])))
+        counts = np.diff(bounds) - 1
+        raw_codes = raw_codes[~is_sent]
+    else:  # n_rows == 1: no separator was inserted
+        counts = np.int64([flat.size])
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    # lower + punct-trim on the vocabulary only; trim collisions merge
+    trim_codes_u, trim_uniq = pd.factorize(np.asarray(
+        [_TOKTRIM.sub("", u.lower()) for u in raw_uniq], dtype=object))
+    tok_codes = trim_codes_u[raw_codes]
+    empty_idx = next((i for i, u in enumerate(trim_uniq) if u == ""), -1)
+    if empty_idx >= 0:
+        keep = tok_codes != empty_idx
+        row_of, tok_codes = row_of[keep], tok_codes[keep]
+    return row_of, tok_codes, trim_uniq
+
+
+# reusable tally buffers (per worker process): the sandbox kernel makes
+# first-touch page faults ~100x more expensive than warm writes, so the
+# gather/reduceat scratch must be allocated once and reused across
+# Arrow batches, never freshly allocated per batch
+_TALLY_PAIRS = 1 << 17
+_GBUF = _OBUF = None
+
+
 def simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text (token-level, FNV-1a token hashes)."""
-    from ..rules.reference_impl import tokenize
-    out = np.zeros(len(texts), dtype=np.int64)
-    bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-    for i, t in enumerate(texts.fillna("")):
-        toks = tokenize(t)
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.array([_token_hash64(tok) for tok in set(toks)],
-                      dtype=np.uint64)
-        bits = ((hs[:, None] & bit_cols[None, :]) != 0)
-        votes = bits.sum(axis=0) * 2 - len(hs)
-        sig = np.uint64(0)
-        for bit in np.nonzero(votes > 0)[0]:
-            sig |= bit_cols[bit]
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+    """64-bit SimHash per text (distinct-token votes, md5-slice hashes).
+
+    Vectorized over the whole Arrow batch with per-token work hoisted to
+    the DISTINCT-token level. Semantics are bit-identical to the numpy
+    oracle's per-row path (rules/reference_impl.tokenize -> set ->
+    per-bit sign votes) and to the _q_simhash64 SQL twin, but executed
+    as: one corpus-level regex split (_tokenize_batch), md5 only on the
+    vocabulary (memoized across batches), per-row DISTINCT via one
+    np.unique over (row, token_code) keys, and vote tallies via
+    np.add.reduceat(dtype=int32) over sorted segments — chunked through
+    preallocated scratch so the (pairs x 64) gather never pays
+    first-touch twice. No per-row, per-token Python in the hot path
+    (round 1 hashed byte-at-a-time per row — scripts/bench_simhash.py)."""
+    global _GBUF, _OBUF
+    n_rows = len(texts)
+    sig = np.zeros(n_rows, dtype=np.uint64)
+    if n_rows == 0:
+        return pd.Series(sig.view(np.int64))
+    row_of, tok_codes, trim_uniq = _tokenize_batch(texts)
+    n_vocab = len(trim_uniq)
+    if tok_codes.size == 0:
+        return pd.Series(sig.view(np.int64))
+    # per-row DISTINCT tokens: unique (row, code) keys, sorted by row
+    keys = np.unique(row_of * np.int64(n_vocab) + tok_codes)
+    pair_rows = keys // n_vocab
+    pair_codes = keys % n_vocab
+    # hash the vocabulary once (memoized across batches)
+    hashes = np.fromiter((_token_hash64(u) for u in trim_uniq),
+                         dtype=np.uint64, count=n_vocab)
+    # (vocab x 64) uint8 bit matrix; column j == bit j of the value
+    bits_u = np.unpackbits(hashes.astype("<u8").view(np.uint8),
+                           bitorder="little").reshape(n_vocab, 64)
+    counts = np.bincount(pair_rows, minlength=n_rows).astype(np.int32)
+    nz = np.flatnonzero(counts)
+    seg_starts = np.searchsorted(pair_rows, nz)
+    cap = max(_TALLY_PAIRS, int(counts.max()))
+    if _GBUF is None or _GBUF.shape[0] < cap:
+        _GBUF = np.empty((cap, 64), np.uint8)
+        _OBUF = np.empty((cap, 64), np.int32)
+    i, n_nz, n_pairs = 0, nz.size, keys.size
+    seg_ends = np.append(seg_starts[1:], np.int64(n_pairs))
+    sig8 = sig.view(np.uint8).reshape(n_rows, 8)
+    while i < n_nz:
+        # rows i..j-1 whose pairs fit the scratch; >=1 row per chunk is
+        # always safe because cap >= counts.max()
+        pair_lo = seg_starts[i]
+        j = int(np.searchsorted(seg_ends, pair_lo + cap, side="right"))
+        j = max(j, i + 1)
+        pair_hi = seg_ends[j - 1]
+        m, k = pair_hi - pair_lo, j - i
+        np.take(bits_u, pair_codes[pair_lo:pair_hi], axis=0,
+                out=_GBUF[:m])
+        ones = np.add.reduceat(_GBUF[:m], seg_starts[i:j] - pair_lo,
+                               axis=0, dtype=np.int32, out=_OBUF[:k])
+        # majority vote: bit set iff 2*ones > count; pack bools straight
+        # into the signature bytes (np.packbits — no int upcasts, which
+        # are pathologically slow on this kernel)
+        pos = np.multiply(ones, 2, dtype=np.int32) > counts[nz[i:j], None]
+        sig8[nz[i:j]] = np.packbits(pos, axis=1, bitorder="little")
+        i = j
+    return pd.Series(sig.view(np.int64))
 
 
 def with_simhash(df: DataFrame, text_col: str = "caption") -> DataFrame:

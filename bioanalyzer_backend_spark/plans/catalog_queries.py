@@ -226,6 +226,78 @@ SELECT row_id, CAST({sig} AS BIGINT) AS simhash16 FROM v
 """
 
 
+def _tok_hashes64(d: str) -> str:
+    """Per-doc arrays of the hi/lo 32-bit halves of 64-bit md5-slice
+    token hashes over DISTINCT tokens — the same hash family as the
+    vectorized SimHash UDF (operators/dedup._token_hash64: first 16 md5
+    hex chars as uint64), so SQL folds reproduce the UDF exactly. Hash
+    once per token, slice twice (md5 in HOF lambdas is the cost)."""
+    toks = sqlgen.tokens_expr("text", d)
+    dt = sqlgen.arr_distinct("toks", d)
+    hs = sqlgen.arr_transform(dt, "x -> md5(x)", d)
+    hi = sqlgen.arr_transform("hs", f"h -> {sqlgen.hex_hash32('h', d, 1)}", d)
+    lo = sqlgen.arr_transform("hs", f"h -> {sqlgen.hex_hash32('h', d, 9)}", d)
+    return (f"SELECT row_id, {hi} AS hi, {lo} AS lo FROM "
+            f"(SELECT doc_id AS row_id, {hs} AS hs FROM "
+            f"(SELECT doc_id, {toks} AS toks FROM documents))")
+
+
+def _simhash64_expr(d: str) -> str:
+    """CTE body computing (row_id, simhash64) — 64-bit twin of
+    _q_simhash16's vote fold: per-bit +1/-1 votes over distinct-token
+    hashes (bits 0..31 from the lo half, 32..63 from hi), sign -> bit.
+    Bit 63 contributes the BIGINT sign, added as MIN_LONG (written as
+    -(2^63-1)-1: the bare literal fails to parse as a BIGINT in Spark).
+    The vote fold is commutative, so list_distinct/array_distinct
+    ordering differences between engines never matter."""
+    votes = []
+    for j in range(64):
+        arr = "lo" if j < 32 else "hi"
+        bit = f"({sqlgen.shiftr('h', j % 32, d)}) % 2"
+        body = f"acc + CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"
+        votes.append(f"{sqlgen.fold_bigint(arr, body, d)} AS v{j}")
+    terms = ["CASE WHEN v63 > 0 THEN CAST(-9223372036854775807 AS BIGINT) "
+             "- 1 ELSE CAST(0 AS BIGINT) END"]
+    terms += [f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+              for j in range(63)]
+    sig = " + ".join(terms)
+    return f"""h AS ({_tok_hashes64(d)}),
+v AS (SELECT row_id, {', '.join(votes)} FROM h),
+sg AS (SELECT row_id, CAST({sig} AS BIGINT) AS simhash64 FROM v)"""
+
+
+def _q_simhash64(d: str) -> str:
+    """64-bit SimHash per document — the driver-visible oracle for the
+    vectorized pandas-UDF signatures (operators/dedup.simhash_batch):
+    the registry's Spark side runs the UDF, this SQL runs in DuckDB,
+    and the value-hash compare proves them identical."""
+    return f"WITH {_simhash64_expr(d)} SELECT row_id, simhash64 FROM sg"
+
+
+def _q_simhash_pairs(d: str) -> str:
+    """SimHash near-dup candidate pipeline, fully SQL-expressible twin:
+    16-bit block-permutation bucketing (pigeonhole: Hamming<=3 pairs
+    agree on >=1 of 4 blocks) -> exact Hamming verify via
+    bit_count(xor). (x >> s) & 65535 extracts block bits identically in
+    both dialects even for negative signatures (sign-extension is masked
+    off)."""
+    blocks = " UNION ALL ".join(
+        f"SELECT row_id, {b} AS block, "
+        f"(({sqlgen.shiftr('simhash64', 16 * b, d)}) & 65535) AS key, "
+        f"simhash64 FROM sg" for b in range(4))
+    ham = sqlgen.popcount(
+        sqlgen.bxor("a.simhash64", "b.simhash64", d), d)
+    return f"""
+WITH {_simhash64_expr(d)},
+bl AS ({blocks}),
+p AS (SELECT DISTINCT a.row_id AS id_a, b.row_id AS id_b,
+             CAST({ham} AS INT) AS hamming
+      FROM bl a JOIN bl b
+        ON a.block = b.block AND a.key = b.key AND a.row_id < b.row_id)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+"""
+
+
 def _q_rolling_fp(d: str) -> str:
     """Document fingerprint via order-sensitive polynomial rolling hash
     (acc*131 + tok_hash mod 2^31-1 — Karp-Rabin shape, overflow-free under
@@ -757,15 +829,30 @@ def _q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where("vec_id != 0"), q, k=10, n_centroids=16, n_probe=4)
 
 
-def _q_simhash_pairs_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates over synthetic captions: 64-bit pandas-UDF
-    signatures, 16-bit block bucketing (Hamming<=3 guaranteed by pigeonhole),
-    exact Hamming verify <= 3."""
+def _q_simhash64_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized 64-bit SimHash pandas UDF over documents; oracled by
+    the _q_simhash64 SQL fold twin in DuckDB (same md5-slice family)."""
     from pyspark.sql import functions as F
 
     from ..operators import dedup
-    df = _synth_df(spark).select("image_id", "caption")
-    pairs = dedup.simhash_candidates(df)
+    register_testdata_views(spark, sf_dir)
+    df = spark.table("documents").select(
+        F.col("doc_id").alias("row_id"), "text")
+    out = dedup.with_simhash(df, text_col="text")
+    return out.select("row_id", F.col("simhash").alias("simhash64"))
+
+
+def _q_simhash_pairs_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates over documents: pandas-UDF signatures,
+    16-bit block bucketing (Hamming<=3 guaranteed by pigeonhole), exact
+    Hamming verify <= 3. Oracled end-to-end by the _q_simhash_pairs SQL
+    twin (signatures + bucketing + verify all reproduced in DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup
+    register_testdata_views(spark, sf_dir)
+    df = spark.table("documents").select("doc_id", "text")
+    pairs = dedup.simhash_candidates(df, text_col="text", id_col="doc_id")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (pairs.withColumn("hamming", ham.cast("int"))
             .where(F.col("hamming") <= 3)
@@ -834,7 +921,6 @@ _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_udf_documents": _q_langid_udf_documents,
     "ann_lsh_top10": _q_ann_lsh_top10,
     "ann_ivf_top10": _q_ann_ivf_top10,
-    "simhash_pairs_images": _q_simhash_pairs_images,
     "image_stats_multimodal": _q_image_stats,
     "resize_thumbs_multimodal": _q_resize_thumbs,
     "dup_pixel_verify_images": _q_dup_pixel_verify,
@@ -885,6 +971,12 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     # IS the skew-defusal equivalence proof.
     reg["keep_by_lang_salted"] = (_q_keep_by_lang_salted,
                                   _q_keep_by_lang(DUCK))
+    # Pandas-UDF SimHash vs the DuckDB fold twin: the value-hash compare
+    # makes the UDF itself driver-oracled (signature family = md5 slices
+    # in both implementations).
+    reg["simhash64_documents"] = (_q_simhash64_udf, _q_simhash64(DUCK))
+    reg["simhash_pairs_documents"] = (_q_simhash_pairs_udf,
+                                      _q_simhash_pairs(DUCK))
     for name, fn in _SPARK_ONLY.items():
         reg[name] = (fn, None)
     return reg

@@ -149,18 +149,42 @@ def explode_col(e: str, alias: str, d: str) -> str:
             else f"unnest({e}) AS {alias}")
 
 
-def md5_hash32(e: str, d: str) -> str:
-    """Deterministic 32-bit hash of a string expr: first 8 hex chars of its
-    md5 digest as a BIGINT (dialect-portable hash family for SimHash /
-    rolling fingerprints — both engines agree on md5)."""
+def md5_hash32(e: str, d: str, start: int = 1) -> str:
+    """Deterministic 32-bit hash of a string expr: 8 hex chars of its md5
+    digest (at 1-based offset ``start``) as a BIGINT (dialect-portable
+    hash family for SimHash / rolling fingerprints — both engines agree
+    on md5; different offsets are independent hash functions)."""
     if d == SPARK:
-        return f"CAST(conv(substring(md5({e}), 1, 8), 16, 10) AS BIGINT)"
-    return f"CAST('0x' || substring(md5({e}), 1, 8) AS BIGINT)"
+        return f"CAST(conv(substring(md5({e}), {start}, 8), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substring(md5({e}), {start}, 8) AS BIGINT)"
+
+
+def hex_hash32(h: str, d: str, start: int = 1) -> str:
+    """32-bit BIGINT from 8 hex chars of an ALREADY-COMPUTED digest expr
+    (hash once per element, slice many — md5 inside interpreted HOF
+    lambdas is the expensive part)."""
+    if d == SPARK:
+        return f"CAST(conv(substring({h}, {start}, 8), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substring({h}, {start}, 8) AS BIGINT)"
 
 
 def shiftr(e: str, n: int, d: str) -> str:
-    """Logical right shift of a non-negative BIGINT."""
+    """Arithmetic right shift of a BIGINT. Both dialects sign-extend, so
+    masking the shifted value (``(x >> n) & m``) extracts the two's
+    complement bit pattern identically for negative inputs (verified:
+    (-1 >> 48) & 65535 = 65535 in Spark and DuckDB)."""
     return f"shiftright({e}, {n})" if d == SPARK else f"({e} >> {n})"
+
+
+def bxor(a: str, b: str, d: str) -> str:
+    """Bitwise XOR of two BIGINTs (DuckDB's ``^`` is exponentiation)."""
+    return f"({a} ^ {b})" if d == SPARK else f"xor({a}, {b})"
+
+
+def popcount(e: str, d: str) -> str:
+    """Set-bit count over the 64-bit two's complement pattern
+    (bit_count(-1) = 64 in both engines)."""
+    return f"bit_count({e})"
 
 
 def fold_bigint(arr: str, body: str, d: str) -> str:
