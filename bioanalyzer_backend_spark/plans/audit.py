@@ -17,12 +17,21 @@ from pyspark.sql import functions as F
 from .. import spec
 
 AUDIT_SCHEMA = ("run_id string, part_id int, lang string, rule string, "
-                "hits bigint, n_in bigint, n_kept bigint, wall_ms double")
+                "hits bigint, n_in bigint, n_kept bigint, wall_ms double, "
+                "group_id int")
 
 
 def audit_rows(result: DataFrame, run_id: str,
-               wall_ms: float | None = None) -> DataFrame:
-    """Melt per-rule PRESENT hits into long-form audit rows."""
+               wall_ms: float | None = None,
+               group_id: int | None = None) -> DataFrame:
+    """Melt per-rule PRESENT hits into long-form audit rows.
+
+    ``group_id`` stamps the resume commit unit (NOT part_id, which is
+    the physical task partition): crash repair deletes-then-reappends by
+    group_id, making the audit roll-forward idempotent — without the
+    stamp, a crash between the audit append and the checkpoint append
+    would leave rows that a later repair duplicates under a new
+    run_id."""
     lang = F.col("lang") if "lang" in result.columns else F.lit("all")
     base = result.select(
         F.spark_partition_id().alias("part_id"),
@@ -46,4 +55,5 @@ def audit_rows(result: DataFrame, run_id: str,
         F.col("n_in").cast("long"),
         F.col("n_kept").cast("long"),
         F.lit(float(wall_ms) if wall_ms is not None else None)
-        .cast("double").alias("wall_ms"))
+        .cast("double").alias("wall_ms"),
+        F.lit(group_id).cast("int").alias("group_id"))

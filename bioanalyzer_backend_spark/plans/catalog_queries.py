@@ -829,6 +829,52 @@ def _q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where("vec_id != 0"), q, k=10, n_centroids=16, n_probe=4)
 
 
+def _ann_exact_rerank(scored: DataFrame) -> DataFrame:
+    """Round + re-rank an ANN candidate set exactly like the cosine_top10
+    oracle SQL (ORDER BY ROUND(cos_sim, 5) DESC, vec_id LIMIT 10). The
+    operators rank on the UNROUNDED score; at the k-boundary two rows can
+    round to the same 5-decimal value, so hash parity with the oracle
+    requires ranking on the rounded value itself."""
+    from pyspark.sql import functions as F
+
+    return (scored
+            .select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+
+
+def _q_ann_lsh_exact_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN in EXACT mode (hamming_radius = n_planes admits every
+    bucket): the bucketed plan degenerates to brute force, so the
+    cosine_top10 oracle SQL is its ground truth — the driver's value-hash
+    compare makes the radius-probe ≡ brute-force equivalence (proven in
+    tests/test_ops_extra.py) driver-visible."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    scored = similarity.lsh_cosine_topk(
+        emb.where("vec_id != 0"), q, k=1 << 30,
+        n_planes=16, hamming_radius=16)
+    return _ann_exact_rerank(scored)
+
+
+def _q_ann_ivf_exact_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in EXACT mode (n_probe = n_centroids probes every list):
+    same driver-visible equivalence proof as the LSH exact entry."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    scored = similarity.ivf_cosine_topk(
+        emb.where("vec_id != 0"), q, k=1 << 30,
+        n_centroids=16, n_probe=16)
+    return _ann_exact_rerank(scored)
+
+
 def _q_simhash64_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized 64-bit SimHash pandas UDF over documents; oracled by
     the _q_simhash64 SQL fold twin in DuckDB (same md5-slice family)."""
@@ -977,6 +1023,13 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["simhash64_documents"] = (_q_simhash64_udf, _q_simhash64(DUCK))
     reg["simhash_pairs_documents"] = (_q_simhash_pairs_udf,
                                       _q_simhash_pairs(DUCK))
+    # Exact-mode ANN (full Hamming radius / probe-all): the approximate
+    # plans degenerate to brute force, so the brute-force cosine SQL is
+    # their oracle — approx ≡ exact equivalence becomes driver-visible.
+    reg["ann_lsh_exact_top10"] = (_q_ann_lsh_exact_top10,
+                                  _q_cosine_topk(DUCK))
+    reg["ann_ivf_exact_top10"] = (_q_ann_ivf_exact_top10,
+                                  _q_cosine_topk(DUCK))
     for name, fn in _SPARK_ONLY.items():
         reg[name] = (fn, None)
     return reg

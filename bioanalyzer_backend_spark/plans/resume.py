@@ -23,6 +23,8 @@ becomes sequential staged jobs over bucket(image_id, N).
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 import uuid
 
@@ -62,17 +64,41 @@ def reconcile(spark: SparkSession, results: LocalSnapshotTable,
               run_id: str) -> list[int]:
     """Roll forward half-committed groups (rows published, checkpoint row
     missing after a crash): regenerate their audit rows from the published
-    results and append the checkpoint row. Returns the groups repaired."""
+    results and append the checkpoint row. Returns the groups repaired.
+
+    Idempotent per group: the crash may have happened AFTER the group's
+    audit append (commit order is results -> audit -> ckpt), so the
+    group's audit rows are deleted by group_id before re-appending —
+    blind re-append would double the lineage hit counts. The repaired
+    checkpoint row is stamped ``repair:<run_id>``, not ``run_id``: the
+    crashed run did that processing, and throughput metrics that sum
+    n_rows for run_id == this run must not claim it (jobs/
+    quality_filter.py rows_this_run)."""
     half = sorted(_published_groups(spark, results)
                   - committed_groups(spark, ckpt))
     for g in half:
         out = results.read(spark).where(F.col("part_id") == g)
-        audit.append(audit_rows(out, run_id, None))
+        audit.delete_where(spark, F.col("group_id") == g)
+        audit.append(audit_rows(out, run_id, None, group_id=g))
         n_rows = out.count()
         ckpt.append(spark.createDataFrame(
-            [(g, run_id, n_rows, float(time.time()))],
+            [(g, f"repair:{run_id}", n_rows, float(time.time()))],
             "part_id int, run_id string, n_rows long, committed_at double"))
     return half
+
+
+def stage_input(spark: SparkSession, images: DataFrame, stage_path: str,
+                n_groups: int) -> DataFrame:
+    """Materialize the part_id-tagged input ONCE, partitioned by part_id,
+    and return a reader over it. Filtering the raw input per group would
+    re-scan the FULL table n_groups times (the group id is a computed
+    hash, so the filter can never push down to the source); the staged
+    layout turns each group's read into partition pruning — one input
+    scan total, one pruned directory per group. At warehouse scale this
+    staging step IS the bucket(image_id, N)-partitioned Iceberg table."""
+    (images.withColumn("part_id", group_of("image_id", n_groups))
+     .write.mode("overwrite").partitionBy("part_id").parquet(stage_path))
+    return spark.read.parquet(stage_path)
 
 
 def run_with_resume(spark: SparkSession, images: DataFrame,
@@ -80,23 +106,34 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
                     ckpt: LocalSnapshotTable, n_groups: int = 8,
                     run_id: str | None = None,
                     fail_after: int | None = None,
-                    fail_between_commits: bool = False) -> dict:
+                    fail_between_commits: bool = False,
+                    fail_after_audit: bool = False,
+                    stage_dir: str | None = None) -> dict:
     """Process all uncommitted groups; returns run stats.
 
     ``fail_after`` aborts after that many group commits; with
     ``fail_between_commits`` the abort fires BETWEEN the results append
-    and the checkpoint append (test hooks for the kill/restart scenarios
-    of SURVEY.md section 5.5).
+    and the audit append; with ``fail_after_audit`` it fires between the
+    audit append and the checkpoint append (test hooks for the
+    kill/restart scenarios of SURVEY.md section 5.5).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    tagged = images.withColumn("part_id", group_of("image_id", n_groups))
     repaired = reconcile(spark, results, audit, ckpt, run_id)
     done = committed_groups(spark, ckpt)
     todo = [g for g in range(n_groups) if g not in done]
     n_committed = 0
+    stage_path = None
+    if todo:
+        stage_root = stage_dir or getattr(results, "root", None)
+        if stage_root is None:
+            raise ValueError(
+                "stage_dir is required when the results table has no "
+                "local root (e.g. IcebergTable)")
+        stage_path = os.path.join(stage_root, f"stage-{run_id}")
+        staged = stage_input(spark, images, stage_path, n_groups)
     for g in todo:
         t0 = time.time()
-        sub = tagged.filter(F.col("part_id") == g).drop("part_id")
+        sub = staged.where(F.col("part_id") == g).drop("part_id")
         # one materialization feeds all three consumers (results sink,
         # audit aggregation, row count) — uncached, the UDF-gated
         # pipeline would execute three times per group
@@ -108,7 +145,10 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
                 raise RuntimeError(
                     f"injected failure between commits of group {g}")
             wall_ms = (time.time() - t0) * 1000.0
-            audit.append(audit_rows(out, run_id, wall_ms))
+            audit.append(audit_rows(out, run_id, wall_ms, group_id=g))
+            if fail_after_audit and n_committed + 1 >= (fail_after or 1):
+                raise RuntimeError(
+                    f"injected failure after audit of group {g}")
             n_rows = out.count()          # cached — no recomputation
             ckpt.append(spark.createDataFrame(
                 [(g, run_id, n_rows, float(time.time()))],
@@ -117,8 +157,12 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
             out.unpersist()
         n_committed += 1
         if fail_after is not None and not fail_between_commits \
-                and n_committed >= fail_after:
+                and not fail_after_audit and n_committed >= fail_after:
             raise RuntimeError(f"injected failure after {n_committed} groups")
+    if stage_path is not None:
+        # crash paths skip this on purpose: a resumed run re-stages under
+        # its own run_id (deterministic group_of => identical content)
+        shutil.rmtree(stage_path, ignore_errors=True)
     return {"run_id": run_id, "groups_done": len(done) + n_committed,
             "groups_total": n_groups, "newly_committed": n_committed,
             "repaired_groups": repaired}

@@ -77,44 +77,44 @@ class LocalSnapshotTable:
         outside it, which is why merge/compact use optimistic retry
         instead of holding this across their rewrite.
 
-        O_CREAT|O_EXCL is atomic on POSIX. A holder that dies leaves a
-        stale lock; breaking is rename-based so that of several waiters
-        exactly ONE wins the break (os.replace of a missing source throws
-        for the losers) — a naive unlink+retry lets two waiters both
-        "break" and admit two holders."""
+        flock(LOCK_EX) on a persistent lock file: the kernel releases
+        the lock when the holder's fd closes — including process death —
+        so there is no stale-lock state and no break protocol at all.
+        (The previous create/unlink scheme checked mtime staleness and
+        then renamed the lock away; between the check and the rename the
+        real holder could release and a NEW holder acquire, so the
+        rename would break a live, fresh lock and admit two writers into
+        the read-parent->publish section — a lost-HEAD-update window.
+        flock's single-winner guarantee is the kernel's.) The lock file
+        is never unlinked: unlinking would let a late waiter lock an
+        orphaned inode while a new creator locks the fresh one. flock
+        excludes per open-file-description, so threads in one process
+        exclude each other too (each waiter opens its own fd). Local
+        POSIX filesystems only — exactly LocalSnapshotTable's scope; a
+        real warehouse deployment uses Iceberg catalog CAS commits
+        (IcebergTable below)."""
         import contextlib
+        import fcntl
 
         lock_path = os.path.join(self.meta_dir, "COMMIT_LOCK")
 
         @contextlib.contextmanager
         def lock():
+            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
             deadline = time.time() + timeout_s
-            while True:
-                try:
-                    fd = os.open(lock_path,
-                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    break
-                except FileExistsError:
-                    try:
-                        stale = (os.path.getmtime(lock_path)
-                                 < time.time() - timeout_s)
-                        if stale:
-                            # atomic claim: one waiter wins the rename,
-                            # the rest loop and see the lock gone
-                            os.replace(lock_path,
-                                       lock_path + f".stale-{uuid.uuid4().hex}")
-                            continue
-                    except FileNotFoundError:
-                        continue
-                    if time.time() > deadline:
-                        raise TimeoutError(f"commit lock busy: {lock_path}")
-                    time.sleep(0.02)
             try:
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if time.time() > deadline:
+                            raise TimeoutError(
+                                f"commit lock busy: {lock_path}")
+                        time.sleep(0.02)
                 yield
             finally:
-                os.close(fd)
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(lock_path)
+                os.close(fd)   # releases the flock
 
         return lock()
 
@@ -197,6 +197,30 @@ class LocalSnapshotTable:
 
         return self._commit_rewrite(write_fn, "merge")
 
+    def delete_where(self, spark: SparkSession, condition) -> str | None:
+        """DELETE FROM ... WHERE condition (Iceberg row-delete analogue):
+        rewrites the table without matching rows, committed with
+        optimistic retry. ``condition`` is a Column or SQL string. No-op
+        (returns None) on an empty table."""
+        if self.read(spark) is None:
+            return None
+
+        def write_fn():
+            cur_df = self.read(spark)
+            batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+            if cur_df is None:          # racer emptied the table mid-retry
+                os.makedirs(batch_dir, exist_ok=True)
+                return batch_dir, []
+            from pyspark.sql import functions as F
+            cond = F.expr(condition) if isinstance(condition, str) \
+                else condition
+            cur_df.where(~cond).write.mode("overwrite").parquet(batch_dir)
+            return batch_dir, [os.path.join(batch_dir, f)
+                               for f in os.listdir(batch_dir)
+                               if f.endswith(".parquet")]
+
+        return self._commit_rewrite(write_fn, "delete")
+
     def read(self, spark: SparkSession,
              snapshot_id: str | None = None) -> DataFrame | None:
         """Read HEAD, or any retained snapshot by id (time travel —
@@ -278,6 +302,10 @@ class IcebergTable:
             WHEN MATCHED THEN UPDATE SET {sets}
             WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) VALUES ({vals})
         """)
+        return self.identifier
+
+    def delete_where(self, spark: SparkSession, condition) -> str:
+        spark.sql(f"DELETE FROM {self.identifier} WHERE {condition}")
         return self.identifier
 
     def read(self, spark: SparkSession) -> DataFrame:

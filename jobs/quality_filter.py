@@ -106,7 +106,9 @@ def main(argv: list[str] | None = None) -> None:
         # throughput counts only rows committed by THIS run (checkpoint
         # rows carry run_id + n_rows) — a resumed run that skipped
         # already-committed groups must not claim their rows against its
-        # own wall time
+        # own wall time; roll-forward repairs are stamped
+        # 'repair:<run_id>' by reconcile, so the equality filter below
+        # excludes rows the CRASHED run actually processed too
         ck_df = ckpt.read(spark)
         rows_this_run = 0
         if ck_df is not None:

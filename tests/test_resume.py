@@ -104,3 +104,80 @@ def test_crash_between_commits_rolls_forward(spark, synth_images_df,
     # not the group id — see plans/audit.py)
     rid = stats["run_id"]
     assert aud.read(spark).where(f"run_id = '{rid}'").count() > 0
+    # repaired checkpoint rows are stamped 'repair:<run_id>', so a
+    # throughput metric filtering run_id == rid cannot claim the crashed
+    # run's rows (jobs/quality_filter.py rows_this_run)
+    repaired_ck = ck.read(spark).where("run_id like 'repair:%'").collect()
+    assert {r["part_id"] for r in repaired_ck} == set(stats["repaired_groups"])
+
+
+def test_crash_after_audit_repair_is_idempotent(spark, synth_images_df,
+                                                tmp_path, artifacts_dir):
+    """Crash AFTER the audit append but BEFORE the checkpoint row: the
+    group's audit rows are already committed, so the roll-forward must
+    delete-then-reappend by group_id — a blind re-append would double the
+    lineage hit counts."""
+    df = synth_images_df.limit(300)
+    res, aud, ck = _tables(tmp_path / "aud")
+
+    with pytest.raises(RuntimeError, match="after audit"):
+        run_with_resume(spark, df, res, aud, ck, n_groups=4,
+                        fail_after_audit=True, fail_after=1)
+    # rows AND audit are published; checkpoint row is not
+    assert res.read(spark) is not None
+    assert aud.read(spark) is not None
+    assert len(resume.committed_groups(spark, ck)) == 0
+    crashed_group = res.read(spark).select("part_id").distinct().collect()
+    g = crashed_group[0]["part_id"]
+
+    stats = run_with_resume(spark, df, res, aud, ck, n_groups=4)
+    assert stats["repaired_groups"] == [g]
+
+    # per-rule input counts for the repaired group equal the group's row
+    # count EXACTLY once — doubling would make this 2x
+    group_rows = res.read(spark).where(f"part_id = {g}").count()
+    per_rule = (aud.read(spark).where(f"group_id = {g}")
+                .groupBy("rule").sum("n_in").collect())
+    assert per_rule, "repaired group has audit rows"
+    for r in per_rule:
+        assert r["sum(n_in)"] == group_rows
+
+
+def test_delete_where_snapshot(spark, tmp_path):
+    """Row-level DELETE commits a new snapshot; time travel still sees
+    the deleted rows in the prior snapshot."""
+    tbl = LocalSnapshotTable(str(tmp_path / "d"))
+    tbl.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    before = tbl.history()[0]
+    tbl.delete_where(spark, "k = 2")
+    got = sorted(r["k"] for r in tbl.read(spark).collect())
+    assert got == [1, 3]
+    old = sorted(r["k"] for r in
+                 tbl.read(spark, snapshot_id=before).collect())
+    assert old == [1, 2, 3]
+
+
+def test_input_scanned_once_via_staging(spark, synth_images_df, tmp_path,
+                                        artifacts_dir):
+    """IO assertion for the staged-input design: the (expensive) input
+    lineage is evaluated ONCE — during staging — not once per group.
+    A per-group filter on the computed hash would re-execute the input
+    scan n_groups times (the marker UDF would fire 4x per row)."""
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("int")
+    def marker(_):
+        acc.add(1)
+        return 1
+
+    df = synth_images_df.limit(200).withColumn("_scan_marker",
+                                               marker("image_id"))
+    res, aud, ck = _tables(tmp_path / "scan")
+    stats = run_with_resume(spark, df, res, aud, ck, n_groups=4)
+    assert stats["newly_committed"] == 4
+    assert acc.value == 200, (
+        f"input lineage ran {acc.value / 200:.1f}x per row; staging "
+        "must evaluate it exactly once")
