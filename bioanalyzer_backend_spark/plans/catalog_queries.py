@@ -754,6 +754,13 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "cosine_top10": _q_cosine_topk,
     "groupmin_lineitem": _q_groupmin_lineitem,
     "error_rows_events": _q_error_rows,
+    # Literal reference-formula entries (R2/A1/R6/A5/A6): rendered by
+    # sqlgen from spec constants, numpy twins in rules/reference_impl.
+    "field_confidence_documents": sqlgen.field_confidence_sql,
+    "methods_coverage_documents": sqlgen.methods_coverage_sql,
+    "condition_extract_documents": sqlgen.condition_extract_sql,
+    "factor_score_documents": sqlgen.factor_score_sql,
+    "finding_confidence_documents": sqlgen.finding_confidence_sql,
 }
 
 

@@ -153,6 +153,105 @@ def rule_features(captions: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, index=captions.index)
 
 
+_FIELD_PATTERNS = {c: [re.compile(p) for p in pats]
+                   for c, pats in spec.FIELD_PATTERNS.items()}
+_CONDITION_PATTERNS = [re.compile(p) for p in spec.CONDITION_PATTERNS]
+
+
+def field_confidence(texts: pd.Series) -> pd.DataFrame:
+    """Numpy/re twin of sqlgen.field_confidence_sql — the literal
+    field_validator.py:121-147 arithmetic: per category n = patterns
+    matching the text; conf = min(1, 0.2n+0.6) if a matched pattern also
+    hits the content prefix else min(1, 0.1n+0.3); best category wins,
+    first category winning ties (strict `>` scan in dict order)."""
+    confs, cats = [], []
+    for raw in texts.astype(object):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        content = t[:spec.CONTENT_PREFIX_CHARS]
+        best_conf, best_cat = 0.0, None
+        for cat, pats in _FIELD_PATTERNS.items():
+            matched = [p for p in pats if p.search(t)]
+            if not matched:
+                continue
+            n = len(matched)
+            if any(p.search(content) for p in matched):
+                conf = min(1.0, spec.R2_SAME_CAT_SLOPE * n
+                           + spec.R2_SAME_CAT_BASE)
+            else:
+                conf = min(1.0, spec.R2_CROSS_CAT_SLOPE * n
+                           + spec.R2_CROSS_CAT_BASE)
+            if conf > best_conf:
+                best_conf, best_cat = conf, cat
+        confs.append(best_conf)
+        cats.append(best_cat)
+    return pd.DataFrame({"field_conf": np.asarray(confs, dtype=np.float64),
+                         "field_category": cats}, index=texts.index)
+
+
+def methods_coverage(texts: pd.Series) -> pd.DataFrame:
+    """Twin of sqlgen.methods_coverage_sql (methods_scorer.py:114-127):
+    score = matched_categories / total_categories, substring matching,
+    one hit per category."""
+    total = float(len(spec.METHODS_CRITERIA))
+    n_matched = []
+    for raw in texts.astype(object):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        n_matched.append(sum(
+            1 for kws in spec.METHODS_CRITERIA.values()
+            if any(k in t for k in kws)))
+    n = np.asarray(n_matched, dtype=np.int32)
+    return pd.DataFrame({"n_matched": n,
+                         "methods_score": n.astype(np.float64) / total},
+                        index=texts.index)
+
+
+def condition_extract(texts: pd.Series) -> pd.Series:
+    """Twin of sqlgen.condition_extract_sql (fallback_extractor.py:
+    115-133): ordered pattern chain, first capture group of the first
+    match wins, None when nothing matches."""
+    out = []
+    for raw in texts.astype(object):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        hit = None
+        for p in _CONDITION_PATTERNS:
+            m = p.search(t)
+            if m:
+                hit = m.group(1)
+                break
+        out.append(hit)
+    return pd.Series(out, index=texts.index, name="condition_hit")
+
+
+def factor_score(texts: pd.Series) -> pd.DataFrame:
+    """Twin of sqlgen.factor_score_sql (gemini_qa.py:218-222):
+    min(1, present_factors / MAX_FACTORS)."""
+    words = [w for ws in spec.FACTOR_LISTS.values() for w in ws]
+    n_factors = []
+    for raw in texts.astype(object):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        n_factors.append(sum(1 for w in words if w in t))
+    n = np.asarray(n_factors, dtype=np.int32)
+    score = np.minimum(1.0, n.astype(np.float64) / float(spec.A5_MAX_FACTORS))
+    return pd.DataFrame({"n_factors": n, "factor_score": score},
+                        index=texts.index)
+
+
+def finding_confidence(texts: pd.Series) -> pd.DataFrame:
+    """Twin of sqlgen.finding_confidence_sql (gemini_qa.py:35-38):
+    0 when no findings, else min(1, 0.3 + 0.15 * n_findings)."""
+    n_findings = []
+    for raw in texts.astype(object):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        n_findings.append(sum(1 for w in spec.FINDING_MARKERS if w in t))
+    n = np.asarray(n_findings, dtype=np.int32)
+    conf = np.where(n == 0, 0.0,
+                    np.minimum(1.0, spec.A6_CONF_BASE
+                               + spec.A6_CONF_PER_FINDING
+                               * n.astype(np.float64)))
+    return pd.DataFrame({"n_findings": n, "finding_conf": conf},
+                        index=texts.index)
+
+
 def expected_labels(images: pd.DataFrame) -> pd.DataFrame:
     """FIXTURES.md section 2 golden table for an images DataFrame.
 

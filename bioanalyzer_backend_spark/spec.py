@@ -159,6 +159,82 @@ KEEP_QUALITY_MIN = 0.5
 KEEP_PRESENT_MIN = 2      # >= 2 of 5 rules PRESENT
 
 # --------------------------------------------------------------------------
+# R2: pattern-dictionary field confidence (field_validator.py:30-69 dict
+# shape, :121-147 arithmetic). For each category, n = how many of its
+# patterns match the TEXT; if any do, confidence is
+#   min(1, 0.2*n + 0.6)  when one of those matched patterns also hits the
+#                        CONTENT (the claimed field value), else
+#   min(1, 0.1*n + 0.3);
+# the best-confidence category wins, FIRST category winning ties (the
+# reference's strict `>` comparison in dict order). Content analogue for
+# the documents table: the first CONTENT_PREFIX_CHARS of the text (the
+# reference validates a short field value against the full abstract).
+# Category vocab is the synthetic corpus vocabulary (datagen).
+# --------------------------------------------------------------------------
+
+FIELD_PATTERNS: dict[str, tuple[str, ...]] = {
+    "storage": (r"\btable\b", r"\brow\b", r"\bcolumn\b", r"\bpart\b",
+                r"\bscan\b"),
+    "exec": (r"\bagg\b", r"\bjoin\b", r"\bsort\b", r"\bgroup\b",
+             r"\bwindow\b"),
+    "stream": (r"\bstream\b", r"\bbatch\b", r"\bwatermark\b"),
+    "perf": (r"\bfast\b", r"\bslow\b", r"\bbig\b", r"\bsmall\b"),
+}
+R2_SAME_CAT_SLOPE = 0.2      # field_validator.py:139
+R2_SAME_CAT_BASE = 0.6
+R2_CROSS_CAT_SLOPE = 0.1     # field_validator.py:141
+R2_CROSS_CAT_BASE = 0.3
+CONTENT_PREFIX_CHARS = 80
+
+# --------------------------------------------------------------------------
+# A1: category-coverage methods score (methods_scorer.py:114-127):
+# score = (#categories with >= 1 keyword present) / total_categories.
+# Keywords are plain substrings (the reference uses `kw in text`), one
+# hit per category (the reference `break`s after the first keyword).
+# --------------------------------------------------------------------------
+
+METHODS_CRITERIA: dict[str, tuple[str, ...]] = {
+    "scan": ("scan", "filter"),
+    "join": ("join", "merge"),
+    "agg": ("agg", "group"),
+    "sort": ("sort", "order"),
+    "stream": ("stream", "batch"),
+}
+
+# --------------------------------------------------------------------------
+# R6: ordered first-match extraction chain (fallback_extractor.py:115-133):
+# patterns tried IN ORDER, first capture group of the first match wins.
+# --------------------------------------------------------------------------
+
+CONDITION_PATTERNS: tuple[str, ...] = (
+    r"(slow[ ]+query)",
+    r"(big[ ]+table)",
+    r"(fast[ ]+scan)",
+    r"(small[ ]+part)",
+    r"(hash[ ]+join)",
+)
+
+# --------------------------------------------------------------------------
+# A5: factor-based score (gemini_qa.py:218-222): count the factors present
+# across three factor lists, score = min(1, total / MAX_FACTORS).
+# A6: finding-count confidence (gemini_qa.py:35-38):
+# conf = 0 if no findings else min(1, 0.3 + 0.15 * n_findings).
+# Findings analogue: distinct finding-marker words present in the text.
+# --------------------------------------------------------------------------
+
+FACTOR_LISTS: dict[str, tuple[str, ...]] = {
+    "general": ("table", "row", "column", "part", "scan", "query"),
+    "exec": ("agg", "join", "sort", "group", "window"),
+    "perf": ("fast", "slow", "big", "small", "stream"),
+}
+A5_MAX_FACTORS = 16
+
+FINDING_MARKERS: tuple[str, ...] = (
+    "merge", "vector", "hash", "spark", "customer", "line")
+A6_CONF_BASE = 0.3
+A6_CONF_PER_FINDING = 0.15
+
+# --------------------------------------------------------------------------
 # Full-pipeline (non-SQL) thresholds: langid + perplexity gates.
 # --------------------------------------------------------------------------
 

@@ -358,3 +358,166 @@ def scrub_sql(d: str, table: str = "documents", id_col: str = "doc_id",
     """PII/noise scrub projection (text_processing.py:110-125 analogue)."""
     return (f"SELECT {id_col} AS row_id, {scrub_expr(text_col, d)} "
             f"AS scrubbed FROM {table}")
+
+
+# --------------------------------------------------------------------------
+# R2: pattern-dictionary field confidence (field_validator.py:30-69 dicts,
+# :121-147 arithmetic — the literal formula, not an analogue).
+# --------------------------------------------------------------------------
+
+def field_confidence_sql(d: str, table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Best-category pattern confidence.
+
+    Per category: n = patterns matching the text; if n > 0,
+    conf = min(1, SAME_SLOPE*n + SAME_BASE) when a matched pattern also
+    hits the content prefix, else min(1, CROSS_SLOPE*n + CROSS_BASE);
+    best-confidence category wins, first category winning ties (the
+    reference's strict `>` scan in dict order)."""
+    cats = list(spec.FIELD_PATTERNS)
+    # stage 1: one boolean column per (category, pattern) x (text, content)
+    match_cols = []
+    for c in cats:
+        for i, p in enumerate(spec.FIELD_PATTERNS[c]):
+            match_cols.append(f"{rx_count('t', p, d)} > 0 AS m_{c}_{i}")
+            match_cols.append(f"{rx_count('content', p, d)} > 0 AS c_{c}_{i}")
+    matches = ",\n         ".join(match_cols)
+    # stage 2: per-category counts + content-match flags
+    cat_cols = []
+    for c in cats:
+        idx = range(len(spec.FIELD_PATTERNS[c]))
+        n = " + ".join(f"CAST(m_{c}_{i} AS INT)" for i in idx)
+        cm = " OR ".join(f"(m_{c}_{i} AND c_{c}_{i})" for i in idx)
+        cat_cols.append(f"CAST({n} AS INT) AS n_{c}")
+        cat_cols.append(f"({cm}) AS cm_{c}")
+    catexprs = ",\n         ".join(cat_cols)
+    # stage 3: per-category confidence (the reference formula verbatim)
+    conf_cols = []
+    for c in cats:
+        conf_cols.append(
+            f"""CASE WHEN n_{c} = 0 THEN {fmt(0.0)}
+              WHEN cm_{c} THEN LEAST({fmt(1.0)}, {fmt(spec.R2_SAME_CAT_SLOPE)} * n_{c} + {fmt(spec.R2_SAME_CAT_BASE)})
+              ELSE LEAST({fmt(1.0)}, {fmt(spec.R2_CROSS_CAT_SLOPE)} * n_{c} + {fmt(spec.R2_CROSS_CAT_BASE)}) END AS conf_{c}""")
+    confexprs = ",\n         ".join(conf_cols)
+    best = "GREATEST(" + ", ".join(f"conf_{c}" for c in cats) + ")"
+    # first category reaching the max wins the tie (CASE order = dict order)
+    argmax = "CASE WHEN " + " WHEN ".join(
+        f"conf_{c} = best THEN {slit(c)}" for c in cats) + " END"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS row_id,
+         lower(trim({text_col})) AS t,
+         substring(lower(trim({text_col})), 1, {spec.CONTENT_PREFIX_CHARS}) AS content
+  FROM {table}
+),
+m AS (
+  SELECT row_id,
+         {matches}
+  FROM base
+),
+cat AS (
+  SELECT row_id,
+         {catexprs}
+  FROM m
+),
+conf AS (
+  SELECT row_id,
+         {confexprs}
+  FROM cat
+),
+best AS (
+  SELECT row_id, {best} AS best,
+         {", ".join(f"conf_{c}" for c in cats)}
+  FROM conf
+)
+SELECT row_id,
+       best AS field_conf,
+       CASE WHEN best > {fmt(0.0)} THEN {argmax} END AS field_category
+FROM best
+"""
+
+
+# --------------------------------------------------------------------------
+# A1: category-coverage methods score (methods_scorer.py:114-127):
+# score = matched_categories / total_categories, one hit per category.
+# --------------------------------------------------------------------------
+
+def methods_coverage_sql(d: str, table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    cats = list(spec.METHODS_CRITERIA)
+    hits = []
+    for c in cats:
+        any_kw = " OR ".join(f"instr(t, {slit(k)}) > 0"
+                             for k in spec.METHODS_CRITERIA[c])
+        hits.append(f"CAST(({any_kw}) AS INT)")
+    n = " + ".join(hits)
+    total = fmt(float(len(cats)))
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+),
+cov AS (
+  SELECT row_id, CAST({n} AS INT) AS n_matched FROM base
+)
+SELECT row_id, n_matched,
+       CAST(n_matched AS DOUBLE) / {total} AS methods_score
+FROM cov
+"""
+
+
+# --------------------------------------------------------------------------
+# R6: ordered first-match extraction chain (fallback_extractor.py:115-133).
+# --------------------------------------------------------------------------
+
+def condition_extract_sql(d: str, table: str = "documents",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    chain = ", ".join(rx_extract("t", p, 1, d)
+                      for p in spec.CONDITION_PATTERNS)
+    return (f"SELECT {id_col} AS row_id, COALESCE({chain}) AS condition_hit "
+            f"FROM (SELECT {id_col}, lower(trim({text_col})) AS t "
+            f"FROM {table}) s")
+
+
+# --------------------------------------------------------------------------
+# A5 factor-based score (gemini_qa.py:218-222) and A6 finding-count
+# confidence (gemini_qa.py:35-38).
+# --------------------------------------------------------------------------
+
+def factor_score_sql(d: str, table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    terms = " + ".join(
+        f"CAST(instr(t, {slit(w)}) > 0 AS INT)"
+        for words in spec.FACTOR_LISTS.values() for w in words)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+),
+f AS (
+  SELECT row_id, CAST({terms} AS INT) AS n_factors FROM base
+)
+SELECT row_id, n_factors,
+       LEAST({fmt(1.0)}, CAST(n_factors AS DOUBLE) / {fmt(float(spec.A5_MAX_FACTORS))}) AS factor_score
+FROM f
+"""
+
+
+def finding_confidence_sql(d: str, table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    terms = " + ".join(f"CAST(instr(t, {slit(w)}) > 0 AS INT)"
+                       for w in spec.FINDING_MARKERS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+),
+f AS (
+  SELECT row_id, CAST({terms} AS INT) AS n_findings FROM base
+)
+SELECT row_id, n_findings,
+       CASE WHEN n_findings = 0 THEN {fmt(0.0)}
+            ELSE LEAST({fmt(1.0)}, {fmt(spec.A6_CONF_BASE)} + {fmt(spec.A6_CONF_PER_FINDING)} * n_findings) END AS finding_conf
+FROM f
+"""

@@ -153,3 +153,78 @@ def test_phash_stable_and_noise_invariant():
     assert h1 == average_hash(px.copy())
     assert isinstance(h1, int)
     assert -(1 << 63) <= h1 < (1 << 63)
+
+
+# --------------------------------------------------------------------------
+# Literal reference-formula scorers (R2/A1/R6/A5/A6): numpy twin vs the
+# DuckDB-rendered SQL — closes the three-implementation triangle (the
+# Spark side is covered by test_oracle_parity's registry sweep).
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def _docs_duck():
+    import duckdb
+
+    from .conftest import SF001
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF001}/documents.parquet'")
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    return con, docs
+
+
+def _duck_by_id(con, sql):
+    return (con.execute(sql).df().sort_values("row_id")
+            .reset_index(drop=True))
+
+
+def test_field_confidence_numpy_vs_sql(_docs_duck):
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _docs_duck
+    got = _duck_by_id(con, sqlgen.field_confidence_sql(sqlgen.DUCK))
+    exp = ri.field_confidence(docs["text"])
+    assert np.array_equal(got["field_conf"].to_numpy(),
+                          exp["field_conf"].to_numpy())
+    assert [c if pd.notna(c) else None for c in got["field_category"]] \
+        == list(exp["field_category"])
+    # distribution sanity: both branches of the formula fire on the corpus
+    assert (exp["field_conf"] >= 0.6).any()          # same-category branch
+    assert exp["field_category"].notna().any()
+
+
+def test_methods_coverage_numpy_vs_sql(_docs_duck):
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _docs_duck
+    got = _duck_by_id(con, sqlgen.methods_coverage_sql(sqlgen.DUCK))
+    exp = ri.methods_coverage(docs["text"])
+    assert np.array_equal(got["n_matched"].to_numpy(),
+                          exp["n_matched"].to_numpy())
+    assert np.array_equal(got["methods_score"].to_numpy(),
+                          exp["methods_score"].to_numpy())
+    assert got["n_matched"].nunique() > 1            # not degenerate
+
+
+def test_condition_extract_numpy_vs_sql(_docs_duck):
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _docs_duck
+    got = _duck_by_id(con, sqlgen.condition_extract_sql(sqlgen.DUCK))
+    exp = ri.condition_extract(docs["text"])
+    assert [c if pd.notna(c) else None for c in got["condition_hit"]] \
+        == list(exp)
+    assert exp.notna().any()                         # chain fires somewhere
+
+
+def test_factor_and_finding_numpy_vs_sql(_docs_duck):
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _docs_duck
+    got_f = _duck_by_id(con, sqlgen.factor_score_sql(sqlgen.DUCK))
+    exp_f = ri.factor_score(docs["text"])
+    assert np.array_equal(got_f["factor_score"].to_numpy(),
+                          exp_f["factor_score"].to_numpy())
+    got_c = _duck_by_id(con, sqlgen.finding_confidence_sql(sqlgen.DUCK))
+    exp_c = ri.finding_confidence(docs["text"])
+    assert np.array_equal(got_c["finding_conf"].to_numpy(),
+                          exp_c["finding_conf"].to_numpy())
+    # the zero-findings guard (conf 0, not 0.3) is reachable
+    assert ((exp_c["n_findings"] == 0) == (exp_c["finding_conf"] == 0.0)).all()
