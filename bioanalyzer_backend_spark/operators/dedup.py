@@ -170,9 +170,24 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "caption",
                    id_col: str = "image_id",
-                   threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs (verification stage)."""
+                   threshold: float = 0.8,
+                   max_posting: int | None = None,
+                   return_report: bool = False):
+    """Exact n-gram Jaccard on candidate pairs (verification stage).
+
+    ``max_posting`` drops boilerplate shingles (posting count above the
+    cap) from the shingle universe BEFORE the posting-list join — same
+    capped-Jaccard semantics as the _q_ngram_jaccard SQL twin: sizes and
+    intersections both come from the filtered space, so the measure
+    stays well-defined. A hot shingle multiplies every candidate pair's
+    intersection rows by its per-doc frequency; at 10^12 rows the cap is
+    what keeps the verify stage linear in the candidate count. With
+    ``return_report`` the dropped shingles come back as an audit frame
+    (shingle, bucket_n) — no silent truncation."""
     sh = shingles(df, text_col, id_col)
+    hot = None
+    if max_posting is not None:
+        sh, hot = cap_buckets(sh, ["shingle"], max_posting)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("x")
              .join(pairs, F.col("x._id") == F.col("id_a"))
@@ -188,8 +203,14 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "caption",
            .withColumn("jaccard",
                        F.col("inter").cast("double")
                        / (F.col("na") + F.col("nb") - F.col("inter"))))
-    return out.where(F.col("jaccard") >= threshold).select(
+    verified = out.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard")
+    if return_report:
+        if hot is None:
+            hot = sh.select(F.col("shingle"),
+                            F.lit(0).cast("long").alias("bucket_n")).limit(0)
+        return verified, hot
+    return verified
 
 
 # --------------------------------------------------------------------------

@@ -120,11 +120,26 @@ def _shingles(d: str, text_col: str = "text") -> str:
             f"FROM (SELECT doc_id, {toks} AS toks FROM documents)")
 
 
-def _q_ngram_jaccard(d: str, shingle_src: str | None = None) -> str:
-    """Near-dup detection: 3-gram shingle Jaccard, top-20 pairs."""
+def _q_ngram_jaccard(d: str, shingle_src: str | None = None,
+                     max_posting: int = 32) -> str:
+    """Near-dup detection: 3-gram shingle Jaccard, top-20 pairs.
+
+    Hot-shingle cap: a boilerplate shingle shared by m docs contributes
+    m^2/2 rows to the posting-list self-join — quadratic in corpus size
+    at 10^12 rows while carrying near-zero signal ("template text").
+    Shingles with posting count > ``max_posting`` are removed from the
+    shingle UNIVERSE (both the intersection join and the per-doc sizes,
+    so Jaccard stays a well-defined similarity over the filtered space).
+    Both dialects render the same cap, so the oracle compare still holds;
+    at sf0.01 the hottest shingle posts 7 docs, so 32 never binds there —
+    the cap exists for the 100x corpus. The operator twin with a
+    dropped-bucket report is operators/dedup.jaccard_verify."""
     return f"""
 WITH s AS ({shingle_src or _shingles(d)}),
-e AS (SELECT row_id, {sqlgen.explode_col('sh', 'g', d)} FROM s),
+e0 AS (SELECT row_id, {sqlgen.explode_col('sh', 'g', d)} FROM s),
+hot AS (SELECT g FROM e0 GROUP BY g HAVING COUNT(*) > {max_posting}),
+e AS (SELECT e0.row_id, e0.g FROM e0 LEFT JOIN hot ON e0.g = hot.g
+      WHERE hot.g IS NULL),
 sz AS (SELECT row_id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY row_id),
 inter AS (
   SELECT a.row_id AS ra, b.row_id AS rb, CAST(COUNT(*) AS BIGINT) AS i

@@ -414,3 +414,39 @@ def test_simhash_cap_report_surfaces_dropped_buckets(spark):
     assert hot.count() >= 1 and "bucket_n" in hot.columns
     pairs2, hot2 = dedup.simhash_candidates(df, return_report=True)
     assert hot2.count() == 0
+
+
+def test_jaccard_verify_hot_shingle_cap_bounds_pairs(spark):
+    """Boilerplate shingles (posting count > cap) are dropped from the
+    shingle universe before the posting-list join: pairs that are
+    'similar' only through the shared template no longer verify, and the
+    dropped shingles surface in the report (no silent truncation).
+    Mirrors the max_posting cap in the _q_ngram_jaccard SQL twin."""
+    tmpl = "subscribe to our channel and click the bell icon for updates"
+    rows = [(f"b{i:02d}", f"unique caption number {i} alpha beta {tmpl}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    all_pairs = spark.createDataFrame(
+        [(a, b) for i, (a, _) in enumerate(rows)
+         for b, _ in rows[i + 1:]], "id_a string, id_b string")
+
+    # uncapped: every pair verifies at 0.5 through the boilerplate alone
+    ver0 = dedup.jaccard_verify(df, all_pairs, threshold=0.5)
+    n0 = ver0.count()
+    assert n0 == 30 * 29 // 2
+
+    # capped: the template shingles post 30 docs > cap 5 -> dropped from
+    # the universe, similarity collapses to the unique prefixes -> 0 pairs
+    ver1, hot = dedup.jaccard_verify(df, all_pairs, threshold=0.5,
+                                     max_posting=5, return_report=True)
+    assert ver1.count() == 0
+    report = {r["shingle"]: r["bucket_n"] for r in hot.collect()}
+    assert any(n == 30 for n in report.values())
+    assert all(n > 5 for n in report.values())
+    assert dedup.release_cap_caches() >= 1
+
+    # no cap requested -> empty report, same schema
+    ver2, hot2 = dedup.jaccard_verify(df, all_pairs, threshold=0.5,
+                                      return_report=True)
+    assert hot2.count() == 0 and "bucket_n" in hot2.columns
+    assert ver2.count() == n0
