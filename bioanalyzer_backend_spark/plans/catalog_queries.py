@@ -776,6 +776,8 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "condition_extract_documents": sqlgen.condition_extract_sql,
     "factor_score_documents": sqlgen.factor_score_sql,
     "finding_confidence_documents": sqlgen.finding_confidence_sql,
+    "id_valid_documents": sqlgen.id_valid_sql,
+    "found_terms_documents": sqlgen.found_terms_sql,
 }
 
 

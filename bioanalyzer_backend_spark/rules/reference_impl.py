@@ -252,6 +252,26 @@ def finding_confidence(texts: pd.Series) -> pd.DataFrame:
                         index=texts.index)
 
 
+def found_terms(texts: pd.Series) -> pd.DataFrame:
+    """Twin of sqlgen.found_terms_sql (gemini_qa.py:74-87
+    extract_found_terms): per category, the keywords present in the
+    text, keyword-list order kept, joined with commas ('' when none)."""
+    rows = []
+    for raw in texts.astype(object):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        row = {}
+        n = 0
+        for cat, kws in spec.METHODS_CRITERIA.items():
+            hits = [k for k in kws if k in t]
+            row[f"found_{cat}"] = ",".join(hits)
+            n += len(hits)
+        row["n_found"] = n
+        rows.append(row)
+    out = pd.DataFrame(rows, index=texts.index)
+    out["n_found"] = out["n_found"].astype(np.int32)
+    return out
+
+
 def expected_labels(images: pd.DataFrame) -> pd.DataFrame:
     """FIXTURES.md section 2 golden table for an images DataFrame.
 

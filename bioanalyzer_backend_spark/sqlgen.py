@@ -504,6 +504,69 @@ FROM f
 """
 
 
+def rx_matches(col: str, pattern: str, d: str) -> str:
+    """Boolean full-regex-search predicate (Spark RLIKE / DuckDB
+    regexp_matches — both are search-anywhere, anchor explicitly)."""
+    if d == SPARK:
+        return f"({col} RLIKE {rlit(pattern, d)})"
+    return f"regexp_matches({col}, {rlit(pattern, d)})"
+
+
+# --------------------------------------------------------------------------
+# P4: id-validity predicate (utils.py:76-85 validate_pmid — a string id
+# is valid iff it matches the expected shape; here the source-id's digit
+# suffix, with the parsed numeric id alongside).
+# --------------------------------------------------------------------------
+
+ID_VALID_RE = r"^src[0-9]+$"
+ID_NUM_RE = r"^src([0-9]+)$"
+
+
+def id_valid_sql(d: str, table: str = "documents",
+                 id_col: str = "doc_id") -> str:
+    return (f"SELECT {id_col} AS row_id, source, "
+            f"{rx_matches('source', ID_VALID_RE, d)} AS id_valid, "
+            f"CAST({rx_extract('source', ID_NUM_RE, 1, d)} AS INT) AS src_num "
+            f"FROM {table}")
+
+
+# --------------------------------------------------------------------------
+# R12: per-category found-term extraction (gemini_qa.py:74-87
+# extract_found_terms): for each category, the ordered list of its
+# keywords present in the text (substring matching, list order kept).
+# --------------------------------------------------------------------------
+
+def found_terms_sql(d: str, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    cols = []
+    for cat, kws in spec.METHODS_CRITERIA.items():
+        arr = str_array(kws, d)
+        found = arr_filter(arr, "k -> instr(t, k) > 0", d)
+        cols.append(f"{found} AS found_{cat}")
+    sizes = " + ".join(
+        arr_len(f"found_{c}", d) for c in spec.METHODS_CRITERIA)
+    # keyword-list order is preserved by filter(); rendered as a joined
+    # string (a scalar sorts/hashes portably in every compare harness).
+    # COALESCE: DuckDB's array_to_string([]) is NULL, Spark's is ''.
+    outs = ", ".join(
+        f"COALESCE({arr_join(f'found_{c}', ',', d)}, '') AS found_{c}"
+        for c in spec.METHODS_CRITERIA)
+    inner = ",\n       ".join(cols)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+),
+f AS (
+  SELECT row_id,
+       {inner}
+  FROM base
+)
+SELECT row_id, {outs},
+       CAST({sizes} AS INT) AS n_found
+FROM f
+"""
+
+
 def finding_confidence_sql(d: str, table: str = "documents",
                            id_col: str = "doc_id",
                            text_col: str = "text") -> str:

@@ -228,3 +228,14 @@ def test_factor_and_finding_numpy_vs_sql(_docs_duck):
                           exp_c["finding_conf"].to_numpy())
     # the zero-findings guard (conf 0, not 0.3) is reachable
     assert ((exp_c["n_findings"] == 0) == (exp_c["finding_conf"] == 0.0)).all()
+
+
+def test_found_terms_numpy_vs_sql(_docs_duck):
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _docs_duck
+    got = _duck_by_id(con, sqlgen.found_terms_sql(sqlgen.DUCK))
+    exp = ri.found_terms(docs["text"])
+    for col in exp.columns:
+        assert list(got[col]) == list(exp[col]), col
+    # order preserved from the keyword list, not text order
+    assert (got["n_found"] > 0).any() and (got["n_found"] == 0).sum() >= 0
