@@ -130,3 +130,20 @@ def test_snowflake_join_broadcasts_all_dims(spark):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_literal_scoring_queries_are_single_stage_projections(spark):
+    """The literal reference-formula entries (R2/A1/A5/A6/R12/P4) are
+    per-row column arithmetic: each must compile to one codegen'd
+    projection over the parquet scan — no Exchange, no Python, no join.
+    At 100 TB these run at scan speed or they are wrong."""
+    for name in ("field_confidence_documents", "methods_coverage_documents",
+                 "factor_score_documents", "finding_confidence_documents",
+                 "condition_extract_documents", "found_terms_documents",
+                 "id_valid_documents"):
+        fn, _ = registry()[name]
+        plan = _plan(fn(spark, SF01))
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "*(" in plan, name
