@@ -78,7 +78,10 @@ def reconcile(spark: SparkSession, results: LocalSnapshotTable,
                   - committed_groups(spark, ckpt))
     for g in half:
         out = results.read(spark).where(F.col("part_id") == g)
-        audit.delete_where(spark, F.col("group_id") == g)
+        # SQL-string predicate so BOTH table backends accept it
+        # (IcebergTable.delete_where interpolates into DELETE FROM ...
+        # WHERE, which cannot take a Column object)
+        audit.delete_where(spark, f"group_id = {int(g)}")
         audit.append(audit_rows(out, run_id, None, group_id=g))
         n_rows = out.count()
         ckpt.append(spark.createDataFrame(

@@ -201,7 +201,14 @@ class LocalSnapshotTable:
         """DELETE FROM ... WHERE condition (Iceberg row-delete analogue):
         rewrites the table without matching rows, committed with
         optimistic retry. ``condition`` is a Column or SQL string. No-op
-        (returns None) on an empty table."""
+        (returns None) on an empty table.
+
+        Standard SQL DELETE semantics: only rows where the predicate is
+        TRUE are removed — rows where it evaluates NULL (e.g. a NULL
+        group_id under ``group_id = 3``) are KEPT, exactly as Iceberg's
+        ``DELETE FROM`` behaves, so the two backends stay interchangeable
+        (a bare ``where(~cond)`` would silently delete NULL-predicate
+        rows)."""
         if self.read(spark) is None:
             return None
 
@@ -214,7 +221,8 @@ class LocalSnapshotTable:
             from pyspark.sql import functions as F
             cond = F.expr(condition) if isinstance(condition, str) \
                 else condition
-            cur_df.where(~cond).write.mode("overwrite").parquet(batch_dir)
+            keep = ~F.coalesce(cond.cast("boolean"), F.lit(False))
+            cur_df.where(keep).write.mode("overwrite").parquet(batch_dir)
             return batch_dir, [os.path.join(batch_dir, f)
                                for f in os.listdir(batch_dir)
                                if f.endswith(".parquet")]

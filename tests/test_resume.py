@@ -158,6 +158,23 @@ def test_delete_where_snapshot(spark, tmp_path):
     assert old == [1, 2, 3]
 
 
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """Standard SQL DELETE semantics (Iceberg-compatible): a row whose
+    predicate evaluates NULL — e.g. a NULL group_id under
+    ``group_id = 3`` — must be KEPT, not swept away by a naive
+    ``where(~cond)`` rewrite. The audit table mixes resume-stamped rows
+    (group_id set) with plain lineage appends (group_id NULL); a crash
+    repair that deletes one group must not eat the NULL rows."""
+    tbl = LocalSnapshotTable(str(tmp_path / "n"))
+    tbl.append(spark.createDataFrame(
+        [(3, "stamped"), (None, "lineage"), (4, "other")],
+        "group_id int, v string"))
+    tbl.delete_where(spark, "group_id = 3")
+    got = sorted(((r["group_id"], r["v"])
+                  for r in tbl.read(spark).collect()), key=str)
+    assert got == [(4, "other"), (None, "lineage")]
+
+
 def test_input_scanned_once_via_staging(spark, synth_images_df, tmp_path,
                                         artifacts_dir):
     """IO assertion for the staged-input design: the (expensive) input
