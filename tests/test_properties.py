@@ -137,3 +137,45 @@ def test_spark_matches_oracle_on_random_unicode_batch(spark):
     assert (got["keep_core"].values == feats["keep"].values).all()
     assert (got["scrubbed_caption"].values
             == pdf["caption"].map(ri.scrub).values).all()
+
+
+@given(st.lists(CAPTION, min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_tokenize_batch_matches_per_row(captions):
+    """The corpus-at-once batch tokenizer (sentinel join + vocabulary
+    trim) must agree with the per-row reference tokenizer on every row,
+    including control-char batches that force the exact slow path
+    (NUL/SOH corrupt pd.factorize's C-string hashtable)."""
+    from bioanalyzer_backend_spark.operators.dedup import _tokenize_batch
+    row_of, codes, uniq = _tokenize_batch(pd.Series(captions))
+    for r, text in enumerate(captions):
+        got = {uniq[c] for c in codes[row_of == r]}
+        assert got == set(ri.tokenize(text)), (r, text)
+
+
+@given(st.lists(CAPTION, min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_simhash_batch_matches_per_row_reference(captions):
+    """Vectorized 64-bit SimHash == the naive per-row definition
+    (distinct tokens -> md5-slice hash -> per-bit sign votes) on
+    adversarial unicode. The DuckDB twin checks corpus data; this pins
+    the chunked reduceat/packbits path on generated edge cases."""
+    import hashlib
+
+    import numpy as np
+
+    from bioanalyzer_backend_spark.operators import dedup
+    got = dedup.simhash_batch(pd.Series(captions)).to_numpy() \
+        .astype(np.uint64)
+    for r, text in enumerate(captions):
+        toks = set(ri.tokenize(text))
+        if not toks:
+            assert got[r] == 0
+            continue
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        assert int(got[r]) == sig, (r, text)
