@@ -237,6 +237,16 @@ identical at cluster scale.
 
 Reproduce: `python bench.py --scaling`
 (env: SPARK_GRAFT_SCALING_CPUS=2,8 SPARK_GRAFT_SCALING_ROWS=600000)
+
+## Micro-bench: vectorized 64-bit SimHash UDF
+
+`python scripts/bench_simhash.py 100000` — batch-vectorized
+simhash_batch (corpus-level tokenize, vocabulary-memoized md5, one
+reduceat vote tally) vs the round-1 per-row per-byte loop:
+**12.2x** on 100k captions (50,022 rows/s vs 4,088 extrapolated);
+semantics pinned bit-identical by `tests/test_properties.py::
+test_simhash_batch_matches_per_row_reference` and the DuckDB oracle
+twin (`simhash64_documents`).
 """)
 
 
