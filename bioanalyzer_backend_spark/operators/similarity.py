@@ -175,3 +175,88 @@ def embedding_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     scored = pairs.selectExpr(
         "id_a", "id_b", f"{_dot_expr('va', 'vb')} / nn AS cos_sim")
     return scored.where(F.col("cos_sim") >= threshold)
+
+
+def _with_norm(df: DataFrame, id_alias: str, vec_alias: str,
+               norm_alias: str, vec_col: str, id_col: str) -> DataFrame:
+    """(id, vec, norm) projection — norm hoisted BEFORE any join so the
+    per-pair work downstream is one dot product, not three."""
+    return df.selectExpr(
+        f"{id_col} AS {id_alias}", f"{vec_col} AS {vec_alias}",
+        f"SQRT({_dot_expr(vec_col, vec_col)}) AS {norm_alias}")
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+    w = (Window.partitionBy("qid")
+         .orderBy(F.desc_nulls_last("cos_sim"), F.asc("cid")))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Batched k-NN join: for EVERY query row, its top-k cosine
+    neighbors in the corpus — the training-pipeline shape (hard-negative
+    mining, dedup-vs-reference-set) that single-probe cosine_topk cannot
+    express. Brute-force baseline: broadcast the (small) query side into
+    a nested-loop join — the corpus streams through ONE task pass, norms
+    hoisted pre-join, the per-query top-k is a row_number window keyed
+    by qid (shuffle carries only (qid, cid, cos_sim) triples, never
+    vectors). NULL cosines (zero-norm junk) sort last, like cosine_topk.
+
+    Returns (qid, cid, cos_sim rounded to 5 — the dialect-portable
+    compare convention of the cosine_top10 oracle).
+    """
+    q = _with_norm(queries, "qid", "qe", "qn", vec_col, id_col)
+    c = _with_norm(corpus, "cid", "ce", "cn", vec_col, id_col)
+    scored = (c.crossJoin(F.broadcast(q))
+              .selectExpr("qid", "cid",
+                          f"ROUND({_dot_expr('ce', 'qe')} / "
+                          f"NULLIF(cn * qn, CAST(0.0 AS DOUBLE)), 5)"
+                          f" AS cos_sim"))
+    return _topk_per_query(scored, k)
+
+
+def knn_join_lsh(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                 dim: int = 16, n_planes: int = 16, n_blocks: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 97) -> DataFrame:
+    """Scale path for the k-NN join: block-banded sign-LSH equi-join.
+
+    Both sides get an n_planes-bit signature (seeded hyperplanes, one
+    Arrow matmul), split into n_blocks key blocks; candidates are pairs
+    agreeing on AT LEAST ONE block — by pigeonhole this covers every
+    pair with signature Hamming distance <= n_blocks - 1 (tested), and
+    random-hyperplane theory makes low-angle pairs likely to collide.
+    The candidate join is a pure EQUI-join on (block, key): at 10^12
+    rows it shuffles slim (id, block, key) rows and never compares
+    all pairs — the brute nested loop is O(|Q| x |C|), this is
+    O(sum of bucket^2). Re-rank is exact cosine on candidates only;
+    vectors rejoin by id AFTER candidate dedup (queries broadcast,
+    corpus equi-join), so signatures and vectors never travel together.
+    """
+    bits = n_planes // n_blocks
+    mask = (1 << bits) - 1
+
+    def blocks(df: DataFrame, out_id: str) -> DataFrame:
+        b = with_lsh_bucket(df, dim, n_planes, vec_col, seed)
+        keys = ", ".join(
+            f"{i}, shiftright(lsh_bucket, {i * bits}) & {mask}"
+            for i in range(n_blocks))
+        return b.selectExpr(
+            f"{id_col} AS {out_id}",
+            f"stack({n_blocks}, {keys}) AS (block, key)")
+
+    cand = (blocks(queries, "qid")
+            .join(blocks(corpus, "cid"), ["block", "key"])
+            .select("qid", "cid").distinct())
+    c = _with_norm(corpus, "cid", "ce", "cn", vec_col, id_col)
+    q = _with_norm(queries, "qid", "qe", "qn", vec_col, id_col)
+    scored = (cand.join(c, "cid").join(F.broadcast(q), "qid")
+              .selectExpr("qid", "cid",
+                          f"ROUND({_dot_expr('ce', 'qe')} / "
+                          f"NULLIF(cn * qn, CAST(0.0 AS DOUBLE)), 5)"
+                          f" AS cos_sim"))
+    return _topk_per_query(scored, k)

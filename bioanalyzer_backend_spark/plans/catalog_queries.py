@@ -717,6 +717,32 @@ ORDER BY ROUND(dp / (SQRT(NULLIF(na, CAST(0.0 AS DOUBLE))) * qn), 5) DESC,
 """
 
 
+def _q_knn_join(d: str) -> str:
+    """Batched k-NN join, brute-force twin: every query row (vec_id <
+    20) gets its top-3 cosine neighbors from the corpus (vec_id >= 20).
+    Exactly mirrors operators/similarity.knn_join: norms hoisted into
+    the per-side CTEs, ROUND(...,5), NULLS LAST so zero-norm junk sorts
+    out of the top-k identically in both dialects."""
+    dot_qq = _dot("embedding", "embedding", d)
+    dot_cq = _dot("ce", "qe", d)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, SQRT({dot_qq}) AS qn
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cid, embedding AS ce, SQRT({dot_qq}) AS cn
+      FROM embeddings WHERE vec_id >= 20),
+s AS (SELECT qid, cid,
+             ROUND({dot_cq} / NULLIF(cn * qn, CAST(0.0 AS DOUBLE)), 5)
+               AS cos_sim
+      FROM c, q),
+r AS (SELECT qid, cid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC NULLS LAST, cid)
+               AS rn
+      FROM s)
+SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
+"""
+
+
 def _q_groupmin_lineitem(d: str) -> str:
     """A7 keyed first-occurrence: min line number per order."""
     return ("SELECT l_orderkey, CAST(MIN(l_linenumber) AS INT) AS first_line "
@@ -882,6 +908,17 @@ def _q_ann_lsh_exact_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where("vec_id != 0"), q, k=1 << 30,
         n_planes=16, hamming_radius=16)
     return _ann_exact_rerank(scored)
+
+
+def _q_knn_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of knn_join_top3: the DataFrame operator (broadcast
+    nested-loop + window top-k), value-hash-checked against the
+    _q_knn_join SQL twin in DuckDB."""
+    from ..operators import similarity
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return similarity.knn_join(emb.where("vec_id >= 20"),
+                               emb.where("vec_id < 20"), k=3)
 
 
 def _q_ann_ivf_exact_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,6 +1087,10 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     # Exact-mode ANN (full Hamming radius / probe-all): the approximate
     # plans degenerate to brute force, so the brute-force cosine SQL is
     # their oracle — approx ≡ exact equivalence becomes driver-visible.
+    # Batched k-NN join: the Spark side is the DataFrame operator
+    # (broadcast nested loop + per-query window top-k), the oracle the
+    # brute-force SQL twin.
+    reg["knn_join_top3"] = (_q_knn_join_spark, _q_knn_join(DUCK))
     reg["ann_lsh_exact_top10"] = (_q_ann_lsh_exact_top10,
                                   _q_cosine_topk(DUCK))
     reg["ann_ivf_exact_top10"] = (_q_ann_ivf_exact_top10,

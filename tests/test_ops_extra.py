@@ -450,3 +450,55 @@ def test_jaccard_verify_hot_shingle_cap_bounds_pairs(spark):
                                       return_report=True)
     assert hot2.count() == 0 and "bucket_n" in hot2.columns
     assert ver2.count() == n0
+
+
+def test_knn_join_matches_numpy(spark, emb_df):
+    """Batched k-NN join == per-query numpy brute force (ids AND
+    rounded cosines), queries = first 10 vectors, corpus = the rest."""
+    df, vecs = emb_df
+    queries, corpus = df.where("vec_id < 10"), df.where("vec_id >= 10")
+    got = {}
+    for r in similarity.knn_join(corpus, queries, k=3).collect():
+        got.setdefault(r.qid, []).append((r.cid, r.cos_sim))
+    v64 = vecs.astype(np.float64)
+    cn = np.linalg.norm(v64[10:], axis=1)
+    for qid in range(10):
+        cos = (v64[10:] @ v64[qid]) / (cn * np.linalg.norm(v64[qid]))
+        order = np.lexsort((np.arange(10, 300), -np.round(cos, 5)))
+        want = [(int(10 + i), float(np.round(cos[i], 5))) for i in order[:3]]
+        assert got[qid] == want, qid
+
+
+def test_knn_join_lsh_pigeonhole_covers_low_hamming(spark, emb_df):
+    """Block-banded candidate generation covers every (q, c) pair whose
+    signatures differ in <= n_blocks - 1 bits (pigeonhole: 4 blocks, <=3
+    flipped bits leave >= 1 block untouched), and the planted near-dup
+    of vec 0 survives to the final top-k."""
+    df, vecs = emb_df
+    queries, corpus = df.where("vec_id < 10"), df.where("vec_id >= 10")
+    planes = similarity._planes(16, 16)
+    bits = ((vecs.astype(np.float64) @ planes) > 0).astype(np.int64)
+    sig = bits @ (1 << np.arange(16))
+    cand = {(r.qid, r.cid) for r in
+            similarity.knn_join_lsh(corpus, queries, k=1 << 30, dim=16)
+            .select("qid", "cid").collect()}
+    for qid in range(10):
+        for cid in range(10, 300):
+            if bin(int(sig[qid]) ^ int(sig[cid])).count("1") <= 3:
+                assert (qid, cid) in cand, (qid, cid)
+    top = similarity.knn_join_lsh(df.where("vec_id != 0"),
+                                  df.where("vec_id = 0"),
+                                  k=3, dim=16).collect()
+    assert any(r.cid == 5 for r in top)   # planted near-dup of vec 0
+
+
+def test_knn_join_plan_broadcasts_queries(spark, emb_df):
+    """Brute k-NN join plan: the query side broadcasts (nested-loop,
+    corpus streams once); the only Exchange is the per-query window's
+    hash partition on qid, which carries slim (qid, cid, cos) rows."""
+    df, _ = emb_df
+    out = similarity.knn_join(df.where("vec_id >= 10"),
+                              df.where("vec_id < 10"), k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
