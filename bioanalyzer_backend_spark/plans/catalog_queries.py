@@ -717,6 +717,62 @@ ORDER BY ROUND(dp / (SQRT(NULLIF(na, CAST(0.0 AS DOUBLE))) * qn), 5) DESC,
 """
 
 
+def _q_stratified_sample(d: str, n_per_key: int = 20) -> str:
+    """Deterministic stratified sample: n docs per language, chosen by
+    md5 order of the doc id — the per-language quota primitive of
+    training-data curation (downsample hot languages, keep the tail).
+    Hash-ordered instead of rand(): reproducible across engines, runs
+    and retries, and at 10^12 rows the window is a single shuffle on
+    lang (salt-able via operators/skew for hot languages)."""
+    h = sqlgen.md5_hash32(sqlgen.int_str("doc_id", d), d)
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= {n_per_key}
+"""
+
+
+def _q_split_assign(d: str) -> str:
+    """Deterministic train/val/test split: md5(doc_id) mod 100 ->
+    80/10/10. Hash-based (not rand()) so the assignment is stable under
+    re-runs, resumes and engine changes — the property a training
+    pipeline needs so examples never migrate between splits."""
+    h = sqlgen.md5_hash32(sqlgen.int_str("doc_id", d), d)
+    return f"""
+SELECT doc_id,
+       CASE WHEN ({h}) % 100 < 80 THEN 'train'
+            WHEN ({h}) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _q_dup_components(d: str) -> str:
+    """Connected components of the embedding near-dup pair graph
+    (component id = min vec_id reachable): the canonicalization step
+    after pairwise near-dup detection — pairs alone over-delete when
+    dups chain (a~b, b~c: keeping a and c double-counts b's content).
+    DuckDB twin: WITH RECURSIVE min-label closure over the SAME pair SQL
+    the embedding_neardup_pairs oracle uses. The Spark side is iterative
+    label propagation (operators/dedup.dup_components)."""
+    pairs = _q_embedding_neardup(d).strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pr AS ({pairs}),
+ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       UNION ALL SELECT id_b, id_a FROM pr),
+reach(id, label) AS (
+  SELECT src AS id, src AS label FROM ed
+  UNION
+  SELECT ed.src AS id, r.label FROM ed JOIN reach r ON r.id = ed.dst
+)
+SELECT id, CAST(MIN(label) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
 def _q_knn_join(d: str) -> str:
     """Batched k-NN join, brute-force twin: every query row (vec_id <
     20) gets its top-3 cosine neighbors from the corpus (vec_id >= 20).
@@ -804,6 +860,9 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "finding_confidence_documents": sqlgen.finding_confidence_sql,
     "id_valid_documents": sqlgen.id_valid_sql,
     "found_terms_documents": sqlgen.found_terms_sql,
+    # Training-split / sampling primitives (deterministic hash-based).
+    "stratified_sample_documents": _q_stratified_sample,
+    "split_assign_documents": _q_split_assign,
 }
 
 
@@ -908,6 +967,19 @@ def _q_ann_lsh_exact_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where("vec_id != 0"), q, k=1 << 30,
         n_planes=16, hamming_radius=16)
     return _ann_exact_rerank(scored)
+
+
+def _q_dup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of dup_components_embeddings: iterative min-label
+    propagation (operators/dedup.dup_components) over the SAME near-dup
+    pair SQL the embedding_neardup_pairs oracle uses; the DuckDB twin is
+    a WITH RECURSIVE closure — an iterative DataFrame algorithm made
+    driver-oracle-checkable."""
+    from ..operators import dedup as dd
+    register_testdata_views(spark, sf_dir)
+    pairs = spark.sql(_q_embedding_neardup(SPARK))
+    out = dd.dup_components(pairs)
+    return out
 
 
 def _q_knn_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,6 +1163,9 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     # (broadcast nested loop + per-query window top-k), the oracle the
     # brute-force SQL twin.
     reg["knn_join_top3"] = (_q_knn_join_spark, _q_knn_join(DUCK))
+    # Iterative connected components vs a WITH RECURSIVE DuckDB closure.
+    reg["dup_components_embeddings"] = (_q_dup_components_spark,
+                                        _q_dup_components(DUCK))
     reg["ann_lsh_exact_top10"] = (_q_ann_lsh_exact_top10,
                                   _q_cosine_topk(DUCK))
     reg["ann_ivf_exact_top10"] = (_q_ann_ivf_exact_top10,

@@ -502,3 +502,16 @@ def test_knn_join_plan_broadcasts_queries(spark, emb_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_components_collapses_chains(spark):
+    """Transitive chains collapse to one component (a~b, b~c => {a,b,c}
+    share min-id canon) — the over-delete case pairwise dedup misses;
+    disjoint pairs stay separate; nodes outside any pair are absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21), (40, 7)],
+        "id_a long, id_b long")
+    got = {r.id: r.component
+           for r in dedup.dup_components(pairs).collect()}
+    dedup.release_cap_caches()
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 7: 7, 40: 7}
