@@ -750,6 +750,46 @@ FROM documents
 """
 
 
+def _q_pack_sequences(d: str, budget: int = 512) -> str:
+    """Sequence packing: assign docs (in deterministic doc_id order,
+    per language) to fixed-token-budget training packs — pack_id =
+    exclusive-prefix-sum(tokens) DIV budget. The window cumulative sum
+    is one shuffle on lang; at 10^12 rows packing runs per partition of
+    a lang-bucketed layout. Whitespace token counts via the same
+    tokens_expr the tok_stats entry uses."""
+    toks = sqlgen.arr_len(f"({sqlgen.tokens_expr('text', d)})", d)
+    return f"""
+WITH t AS (SELECT doc_id, lang, CAST({toks} AS BIGINT) AS n_tok
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      CAST(0 AS BIGINT)) AS prefix
+      FROM t)
+SELECT doc_id, lang, n_tok,
+       CAST(FLOOR(prefix / CAST({budget} AS DOUBLE)) AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+def _q_mixture_sample(d: str) -> str:
+    """Weighted mixture sampling: per-language keep probabilities
+    applied via a deterministic md5 threshold (NOT rand()) — upsampling
+    weights for rare languages, downsampling for hot ones, stable under
+    re-runs/resume so the sampled corpus is reproducible. The hash is
+    uniform on [0, 2^32); keep iff hash < weight * 2^32."""
+    weights = {"en": 0.5, "es": 0.8, "de": 1.0, "fr": 1.0, "zz": 0.25}
+    h = sqlgen.md5_hash32(sqlgen.int_str("doc_id", d), d)
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN CAST({int(w * (1 << 32))} AS BIGINT)"
+        for lang, w in weights.items())
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({h}) < CASE {arms} ELSE CAST(0 AS BIGINT) END
+"""
+
+
 def _q_dup_components(d: str) -> str:
     """Connected components of the embedding near-dup pair graph
     (component id = min vec_id reachable): the canonicalization step
@@ -863,6 +903,8 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     # Training-split / sampling primitives (deterministic hash-based).
     "stratified_sample_documents": _q_stratified_sample,
     "split_assign_documents": _q_split_assign,
+    "pack_sequences_documents": _q_pack_sequences,
+    "mixture_sample_documents": _q_mixture_sample,
 }
 
 
