@@ -147,3 +147,18 @@ def test_literal_scoring_queries_are_single_stage_projections(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "*(" in plan, name
+
+
+def test_sampling_split_plans_have_expected_shuffles(spark):
+    """split/mixture are hash-predicate projections — zero Exchange,
+    zero Python; stratified sampling and sequence packing need exactly
+    ONE shuffle (the lang window) and nothing else."""
+    reg = registry()
+    for name in ("split_assign_documents", "mixture_sample_documents"):
+        plan = _plan(reg[name][0](spark, SF01))
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
+    for name in ("stratified_sample_documents", "pack_sequences_documents"):
+        plan = _plan(reg[name][0](spark, SF01))
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Python" not in plan, name
