@@ -448,8 +448,9 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
     # localCheckpoint (not persist) each round: it TRUNCATES lineage.
     # With plain persist the logical plan nests one level per round and
     # Catalyst analysis cost grows quadratically with iterations — the
-    # classic iterative-DataFrame trap (measured 218 s for ~30 rounds at
-    # 5k nodes; checkpointed: ~20 s). Data stays executor-resident.
+    # classic iterative-DataFrame trap (measured 218 s vs ~20 s
+    # checkpointed for 7 rounds at 5k nodes). Data stays
+    # executor-resident; no cluster-wide checkpoint dir needed.
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
