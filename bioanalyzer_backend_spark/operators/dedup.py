@@ -422,7 +422,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
 
 
 def dup_components(pairs: DataFrame, id_a: str = "id_a",
-                   id_b: str = "id_b", max_iters: int = 25) -> DataFrame:
+                   id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
     """Connected components of an undirected near-dup pair graph:
     (id, component) where component = min id reachable — the
     canonicalization step after pairwise detection (pairs alone
