@@ -346,13 +346,11 @@ ORDER BY cos_sim DESC, id_a, id_b
 """
 
 
-def _q_neardup_dedup(d: str, shingle_src: str | None = None) -> str:
-    """End-to-end near-dedup: MinHash-LSH candidates -> exact Jaccard
-    verify (>=0.8) -> per-doc is_neardup flag (dup = verified partner with
-    smaller id). The full shingle->minhash->band->bucket-join->verify
-    pipeline as one plan."""
-    return f"""
-WITH {_minhash_sig_ctes(d, shingle_src=shingle_src)},
+def _neardup_ctes(d: str, shingle_src: str | None = None) -> str:
+    """Shared CTE block: shingles -> minhash sig -> candidates ->
+    Jaccard-verified pairs ``vp(pa, pb)`` (>= 0.8), plus ``s`` (one row
+    per doc) for join-back."""
+    return f"""{_minhash_sig_ctes(d, shingle_src=shingle_src)},
 ex AS (SELECT row_id, {sqlgen.explode_col('sh', 'g', d)} FROM s),
 cand AS (SELECT DISTINCT a.row_id AS ra, b.row_id AS rb
          FROM sig a JOIN sig b
@@ -363,13 +361,57 @@ ver AS (SELECT c.ra, c.rb, CAST(COUNT(*) AS BIGINT) AS i
         JOIN ex x ON x.row_id = c.ra
         JOIN ex y ON y.row_id = c.rb AND x.g = y.g
         GROUP BY c.ra, c.rb),
-dup AS (SELECT DISTINCT v.rb AS row_id
-        FROM ver v JOIN sz sa ON sa.row_id = v.ra
-                   JOIN sz sb ON sb.row_id = v.rb
-        WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= 0.8)
+vp AS (SELECT v.ra AS pa, v.rb AS pb
+       FROM ver v JOIN sz sa ON sa.row_id = v.ra
+                  JOIN sz sb ON sb.row_id = v.rb
+       WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= 0.8)"""
+
+
+def _q_neardup_dedup(d: str, shingle_src: str | None = None) -> str:
+    """End-to-end near-dedup: MinHash-LSH candidates -> exact Jaccard
+    verify (>=0.8) -> per-doc is_neardup flag (dup = verified partner with
+    smaller id). The full shingle->minhash->band->bucket-join->verify
+    pipeline as one plan."""
+    return f"""
+WITH {_neardup_ctes(d, shingle_src)},
+dup AS (SELECT DISTINCT pb AS row_id FROM vp)
 SELECT s.row_id,
        CASE WHEN dup.row_id IS NOT NULL THEN TRUE ELSE FALSE END AS is_neardup
 FROM s LEFT JOIN dup ON s.row_id = dup.row_id
+"""
+
+
+def _q_verified_pairs(d: str, shingle_src: str | None = None) -> str:
+    """Jaccard-verified near-dup pairs as (id_a, id_b) — the edge set
+    the transitive-dedup entry feeds into connected components."""
+    return f"""
+WITH {_neardup_ctes(d, shingle_src)}
+SELECT pa AS id_a, pb AS id_b FROM vp
+"""
+
+
+def _q_dedup_transitive(d: str, shingle_src: str | None = None) -> str:
+    """Transitive near-dedup over documents: verified MinHash pairs ->
+    connected components (WITH RECURSIVE min-label closure) -> per-doc
+    component id + keep flag (keep = untouched doc or the component's
+    min-id canonical). The pairwise flag (neardup_dedup_documents)
+    over-deletes on chains a~b~c; this is the component-canonical
+    version. Spark side: the SAME pair SQL feeding the iterative
+    operators/dedup.dup_components."""
+    return f"""
+WITH RECURSIVE {_neardup_ctes(d, shingle_src)},
+ed AS (SELECT pa AS src, pb AS dst FROM vp
+       UNION ALL SELECT pb, pa FROM vp),
+reach(id, label) AS (
+  SELECT src AS id, src AS label FROM ed
+  UNION
+  SELECT ed.src AS id, r.label FROM ed JOIN reach r ON r.id = ed.dst
+),
+comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+SELECT s.row_id,
+       CAST(COALESCE(c.component, s.row_id) AS BIGINT) AS component,
+       (c.component IS NULL OR c.component = s.row_id) AS keep
+FROM s LEFT JOIN comp c ON s.row_id = c.id
 """
 
 
@@ -1011,6 +1053,28 @@ def _q_ann_lsh_exact_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_exact_rerank(scored)
 
 
+def _q_dedup_transitive_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of dedup_transitive_documents: verified pairs from the
+    cached-shingle MinHash pipeline -> iterative dup_components ->
+    component id + canonical keep flag for EVERY document."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as dd
+    register_testdata_views(spark, sf_dir)
+    sdf = spark.sql(_shingles(SPARK))
+    sdf.createOrReplaceTempView("shingles_v")
+    spark.catalog.cacheTable("shingles_v")
+    pairs = spark.sql(_q_verified_pairs(
+        SPARK, shingle_src="SELECT * FROM shingles_v"))
+    comp = dd.dup_components(pairs).withColumnRenamed("id", "row_id")
+    docs = spark.table("documents").select(F.col("doc_id").alias("row_id"))
+    return (docs.join(comp, "row_id", "left")
+            .selectExpr(
+                "row_id",
+                "CAST(COALESCE(component, row_id) AS BIGINT) AS component",
+                "(component IS NULL OR component = row_id) AS keep"))
+
+
 def _q_dup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of dup_components_embeddings: iterative min-label
     propagation (operators/dedup.dup_components) over the SAME near-dup
@@ -1208,6 +1272,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     # Iterative connected components vs a WITH RECURSIVE DuckDB closure.
     reg["dup_components_embeddings"] = (_q_dup_components_spark,
                                         _q_dup_components(DUCK))
+    reg["dedup_transitive_documents"] = (_q_dedup_transitive_spark,
+                                         _q_dedup_transitive(DUCK))
     reg["ann_lsh_exact_top10"] = (_q_ann_lsh_exact_top10,
                                   _q_cosine_topk(DUCK))
     reg["ann_ivf_exact_top10"] = (_q_ann_ivf_exact_top10,
