@@ -45,3 +45,45 @@ def test_stream_matches_batch(spark, stream_input, tmp_path, artifacts_dir):
     # several atomic commits happened (one per micro-batch)
     assert len(results.history()) >= 2
     assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+def test_generated_sql_runs_on_streams(spark, tmp_path):
+    """The dialect-rendered registry SQL for the stateless sampling ops
+    (mixture_sample, split_assign) runs UNCHANGED on a streaming
+    DataFrame registered under the same view name, and an availableNow
+    pass produces exactly the batch result — hash-threshold sampling is
+    deterministic, so streams and batch cannot drift."""
+    from bioanalyzer_backend_spark.plans.catalog_queries import (
+        SPARK, _q_mixture_sample, _q_split_assign)
+
+    import shutil
+    src = "/root/testdata/sf0.001/documents.parquet"
+    batch_df = spark.read.parquet(src)
+    schema = batch_df.schema
+    # readStream needs a DIRECTORY source
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    shutil.copy(src, stream_dir / "part-0.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    stream.createOrReplaceTempView("documents")
+    try:
+        for name, builder in (("mix", _q_mixture_sample),
+                              ("spl", _q_split_assign)):
+            out = spark.sql(builder(SPARK))
+            assert out.isStreaming
+            q = (out.writeStream.format("memory").queryName(f"s_{name}")
+                 .outputMode("append")
+                 .option("checkpointLocation",
+                         str(tmp_path / f"ck_{name}"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            got = (spark.table(f"s_{name}").toPandas()
+                   .sort_values("doc_id").reset_index(drop=True))
+            batch_df.createOrReplaceTempView("documents")
+            want = (spark.sql(builder(SPARK)).toPandas()
+                    .sort_values("doc_id").reset_index(drop=True))
+            stream.createOrReplaceTempView("documents")
+            assert len(got) == len(want) > 0
+            pd.testing.assert_frame_equal(got, want)
+    finally:
+        spark.catalog.dropTempView("documents")
