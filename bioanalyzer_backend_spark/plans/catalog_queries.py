@@ -381,6 +381,33 @@ FROM s LEFT JOIN dup ON s.row_id = dup.row_id
 """
 
 
+def _q_decontaminate(d: str, shingle_src: str | None = None,
+                     min_hits: int = 3) -> str:
+    """Benchmark decontamination: flag corpus docs (doc_id >= 20) that
+    share >= min_hits distinct 3-gram shingles with a held-out benchmark
+    set (doc_id < 20) — the test-set-overlap removal step of a training
+    pipeline (a doc quoting eval data must not be trained on). The
+    benchmark shingle set is DISTINCT and bounded (|bench| x shingles),
+    so at 10^12 corpus rows it broadcasts and the probe is map-side; the
+    per-doc distinct-hit count is one groupBy on slim (row_id, shingle)
+    rows."""
+    return f"""
+WITH s AS ({shingle_src or _shingles(d)}),
+e AS (SELECT row_id, {sqlgen.explode_col('sh', 'g', d)} FROM s),
+bench AS (SELECT DISTINCT g FROM e WHERE row_id < 20),
+hits AS (SELECT e.row_id, CAST(COUNT(DISTINCT e.g) AS BIGINT) AS n_overlap
+         FROM e JOIN bench b ON e.g = b.g
+         WHERE e.row_id >= 20
+         GROUP BY e.row_id)
+SELECT s.row_id,
+       COALESCE(h.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+       COALESCE(h.n_overlap, CAST(0 AS BIGINT)) >= {min_hits}
+         AS contaminated
+FROM s LEFT JOIN hits h ON s.row_id = h.row_id
+WHERE s.row_id >= 20
+"""
+
+
 def _q_verified_pairs(d: str, shingle_src: str | None = None) -> str:
     """Jaccard-verified near-dup pairs as (id_a, id_b) — the edge set
     the transitive-dedup entry feeds into connected components."""
@@ -947,6 +974,7 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "split_assign_documents": _q_split_assign,
     "pack_sequences_documents": _q_pack_sequences,
     "mixture_sample_documents": _q_mixture_sample,
+    "decontaminate_documents": _q_decontaminate,
 }
 
 
@@ -1232,6 +1260,7 @@ _MAT_SHINGLE_BUILDERS: dict[str, Callable[..., str]] = {
     "ngram_jaccard_top20": _q_ngram_jaccard,
     "minhash_lsh_pairs": _q_minhash_bands,
     "neardup_dedup_documents": _q_neardup_dedup,
+    "decontaminate_documents": _q_decontaminate,
 }
 
 
