@@ -455,6 +455,7 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
     try:
+        converged = False
         for _ in range(max_iters):
             nbr = (edges.join(labels.select(F.col("id").alias("b"),
                                             F.col("label").alias("lb")),
@@ -473,7 +474,17 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
                        .limit(1).count())
             labels = new
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # Returning partially-propagated labels would silently split
+            # true components — loud failure beats a wrong answer (the
+            # bit-for-bit oracle invariant). Chains deeper than max_iters
+            # mean the corpus needs the large-star/small-star variant.
+            raise RuntimeError(
+                f"dup_components did not converge in {max_iters} rounds "
+                f"(component diameter exceeds max_iters); raise max_iters "
+                f"or switch to a logarithmic-round algorithm")
         return labels.selectExpr(
             "id", "CAST(label AS BIGINT) AS component")
     finally:

@@ -1088,12 +1088,9 @@ def _q_dedup_transitive_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators import dedup as dd
-    register_testdata_views(spark, sf_dir)
-    sdf = spark.sql(_shingles(SPARK))
-    sdf.createOrReplaceTempView("shingles_v")
-    spark.catalog.cacheTable("shingles_v")
-    pairs = spark.sql(_q_verified_pairs(
-        SPARK, shingle_src="SELECT * FROM shingles_v"))
+    _materialize_shingles(spark, sf_dir)
+    pairs = spark.sql(_q_verified_pairs(SPARK,
+                                        shingle_src=MAT_SHINGLE_SRC))
     comp = dd.dup_components(pairs).withColumnRenamed("id", "row_id")
     docs = spark.table("documents").select(F.col("doc_id").alias("row_id"))
     return (docs.join(comp, "row_id", "left")
@@ -1264,13 +1261,22 @@ _MAT_SHINGLE_BUILDERS: dict[str, Callable[..., str]] = {
 }
 
 
+MAT_SHINGLE_SRC = "SELECT * FROM shingles_v"
+
+
+def _materialize_shingles(spark: SparkSession, sf_dir: str) -> None:
+    """Register + cache the shared shingle view (ONE tokenize+shingle
+    pass feeding every branch). The single place the materialization
+    protocol lives — every MAT-shingle consumer goes through here."""
+    register_testdata_views(spark, sf_dir)
+    spark.sql(_shingles(SPARK)).createOrReplaceTempView("shingles_v")
+    spark.catalog.cacheTable("shingles_v")
+
+
 def _mk_spark_fn_mat_shingles(builder: Callable[..., str]):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_testdata_views(spark, sf_dir)
-        sdf = spark.sql(_shingles(SPARK))
-        sdf.createOrReplaceTempView("shingles_v")
-        spark.catalog.cacheTable("shingles_v")
-        return spark.sql(builder(SPARK, shingle_src="SELECT * FROM shingles_v"))
+        _materialize_shingles(spark, sf_dir)
+        return spark.sql(builder(SPARK, shingle_src=MAT_SHINGLE_SRC))
     return fn
 
 
