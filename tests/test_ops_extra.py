@@ -515,3 +515,16 @@ def test_dup_components_collapses_chains(spark):
            for r in dedup.dup_components(pairs).collect()}
     dedup.release_cap_caches()
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 7: 7, 40: 7}
+
+
+def test_dup_components_raises_when_unconverged(spark):
+    """An unconverged run must FAIL LOUDLY, never return partially
+    propagated labels (they would silently split true components and
+    break the oracle invariant)."""
+    chain = [(i, i + 1) for i in range(8)]       # diameter 8 path
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_components(pairs, max_iters=2)
+    got = {r.id: r.component
+           for r in dedup.dup_components(pairs, max_iters=20).collect()}
+    assert set(got.values()) == {0}              # one path component
