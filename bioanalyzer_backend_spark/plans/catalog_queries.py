@@ -975,6 +975,9 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "pack_sequences_documents": _q_pack_sequences,
     "mixture_sample_documents": _q_mixture_sample,
     "decontaminate_documents": _q_decontaminate,
+    # R11: LLM-output section parser — generate the sectioned report,
+    # parse it back with the literal reference rules (quirk included).
+    "report_parse_documents": sqlgen.report_parse_sql,
 }
 
 

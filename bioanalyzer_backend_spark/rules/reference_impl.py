@@ -285,3 +285,119 @@ def expected_labels(images: pd.DataFrame) -> pd.DataFrame:
     canon = images.groupby("phash")["image_id"].transform("min")
     feats["is_dup"] = (images["image_id"] != canon).values
     return feats
+
+
+def _r11_report(keep: bool, quality: float, n_present: int,
+                t: str) -> str:
+    """Generate the sectioned report (twin of the g CTE in
+    sqlgen.report_parse_sql)."""
+    if keep:
+        r_line = "READY FOR CURATION"
+    elif quality < spec.R11_UNCLEAR_QUALITY_MAX:
+        r_line = "STATUS UNCLEAR"
+    elif n_present <= spec.R11_NOTREADY_SHORT_MAX:
+        r_line = "NOT READY"
+    else:
+        r_line = "NOT READY FOR CURATION"
+    sig = ("yes" if n_present >= spec.R11_SIG_YES_MIN
+           else "no" if n_present == 0 else "partial")
+    g1 = ", ".join(k for k in spec.FACTOR_LISTS["general"] if k in t)
+    g2 = ", ".join(k for k in spec.FACTOR_LISTS["exec"] if k in t)
+    conf = int(np.floor(quality * 100.0))
+    bullets = "- rule below threshold\n" * (5 - n_present)
+    return "\n".join([
+        spec.R11_HDR_READINESS, r_line,
+        spec.R11_HDR_SIGNATURES,
+        f"- Presence of microbial signatures: {sig}",
+        spec.R11_HDR_FACTORS,
+        f"- General Factors Present: {g1}",
+        f"- Environmental Factors Present: {g2}",
+        spec.R11_HDR_CONFIDENCE,
+        f"Confidence: {conf}",
+        spec.R11_HDR_REASONS + "\n" + bullets,
+    ])
+
+
+def _r11_parse(rpt: str) -> dict:
+    """Literal line-loop port of the reference parser (gemini_qa.py:
+    88-224 parse_enhanced_analysis, subset): section state machine,
+    substring precedence (incl. the NOT-READY quirk — gemini_qa.py:
+    144-145 matches 'READY FOR CURATION' inside 'NOT READY FOR
+    CURATION'), yes/no/partial mapping, first-number confidence regex,
+    comma-split factor lists, min(1, n/16) factor score, bullet count."""
+    out = {"readiness": "UNKNOWN", "signatures": "Unknown",
+           "confidence": 0.0, "n_general": 0, "n_env": 0, "n_reasons": 0}
+    section = ""
+    for line in rpt.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        if spec.R11_HDR_READINESS in line:
+            section = "readiness"
+            continue
+        if spec.R11_HDR_SIGNATURES in line:
+            section = "signatures"
+            continue
+        if spec.R11_HDR_FACTORS in line:
+            section = "factors"
+            continue
+        if spec.R11_HDR_CONFIDENCE in line:
+            section = "confidence"
+            continue
+        if spec.R11_HDR_REASONS in line:
+            section = "reasons"
+            continue
+        if section == "readiness":
+            lu = line.upper()
+            if "READY FOR CURATION" in lu:      # quirk: catches NOT READY
+                out["readiness"] = "READY"
+            elif "NOT READY" in lu:
+                out["readiness"] = "NOT_READY"
+            elif "READY" in lu and "NOT" not in lu:
+                out["readiness"] = "READY"
+            elif "UNKNOWN" in lu or "UNCLEAR" in lu:
+                out["readiness"] = "UNKNOWN"
+        elif section == "signatures":
+            if "Presence of microbial signatures:" in line:
+                ll = line.lower()
+                if "yes" in ll:
+                    out["signatures"] = "Present"
+                elif "no" in ll:
+                    out["signatures"] = "Absent"
+                elif "partial" in ll:
+                    out["signatures"] = "Partial"
+        elif section == "factors":
+            for label, key in (("General Factors Present:", "n_general"),
+                               ("Environmental Factors Present:", "n_env")):
+                if label in line:
+                    payload = line.split(":", 1)[1].strip()
+                    out[key] = len([f for f in payload.split(",")
+                                    if f.strip()])
+        elif section == "confidence":
+            m = re.search(r"([0-9]+\.?[0-9]*)", line)
+            if m:
+                out["confidence"] = float(m.group(1))
+        elif section == "reasons":
+            if line.startswith("-") or line.startswith("*"):
+                out["n_reasons"] += 1
+    out["factor_score"] = min(1.0, (out["n_general"] + out["n_env"]) / 16.0)
+    return out
+
+
+def report_parse(texts: pd.Series) -> pd.DataFrame:
+    """Twin of sqlgen.report_parse_sql: generate each doc's sectioned
+    report from its rule columns, parse it back with the literal
+    reference rules."""
+    feats = rule_features(texts)
+    rows = []
+    for i, raw in enumerate(texts.astype(object)):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        rpt = _r11_report(bool(feats["keep"].iloc[i]),
+                          float(feats["quality_score"].iloc[i]),
+                          int(feats["n_present"].iloc[i]), t)
+        rows.append(_r11_parse(rpt))
+    out = pd.DataFrame(rows, index=texts.index)
+    for c in ("n_general", "n_env", "n_reasons"):
+        out[c] = out[c].astype(np.int32)
+    return out[["readiness", "signatures", "confidence", "n_general",
+                "n_env", "factor_score", "n_reasons"]]

@@ -235,6 +235,27 @@ A6_CONF_BASE = 0.3
 A6_CONF_PER_FINDING = 0.15
 
 # --------------------------------------------------------------------------
+# R11: LLM-output section parser (gemini_qa.py:88-224
+# parse_enhanced_analysis). The report format is the reference's
+# sectioned template; the parse rules are ported LITERALLY, including
+# the substring-precedence quirk: the first branch checks
+# `"READY FOR CURATION" in line_upper` (gemini_qa.py:144-145), and
+# "NOT READY FOR CURATION" CONTAINS that substring, so a
+# NOT-READY-FOR-CURATION line parses as READY — the NOT_READY branch is
+# reachable only via the bare "NOT READY" form. Quirk unit-tested in
+# test_rules_units.py.
+# --------------------------------------------------------------------------
+
+R11_HDR_READINESS = "CURATION READINESS ASSESSMENT:"
+R11_HDR_SIGNATURES = "MICROBIAL SIGNATURE ANALYSIS:"
+R11_HDR_FACTORS = "FACTOR-BASED ANALYSIS:"
+R11_HDR_CONFIDENCE = "CONFIDENCE LEVEL:"
+R11_HDR_REASONS = "SPECIFIC REASONS FOR DECISION:"
+R11_SIG_YES_MIN = 3        # n_present >= 3 -> "yes"
+R11_UNCLEAR_QUALITY_MAX = 0.2
+R11_NOTREADY_SHORT_MAX = 1  # n_present <= 1 -> bare "NOT READY" line
+
+# --------------------------------------------------------------------------
 # Full-pipeline (non-SQL) thresholds: langid + perplexity gates.
 # --------------------------------------------------------------------------
 

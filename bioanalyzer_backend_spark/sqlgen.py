@@ -584,3 +584,121 @@ SELECT row_id, n_findings,
             ELSE LEAST({fmt(1.0)}, {fmt(spec.A6_CONF_BASE)} + {fmt(spec.A6_CONF_PER_FINDING)} * n_findings) END AS finding_conf
 FROM f
 """
+
+
+# --------------------------------------------------------------------------
+# R11: LLM-output section parser (gemini_qa.py:88-224). One dual-dialect
+# query: GENERATE the sectioned report each doc's rule columns would
+# produce (the reference's prompt/response template), then PARSE it back
+# with the literal section-scoped rules — substring precedence (incl.
+# the NOT-READY quirk, spec.py R11 note), yes/no/partial mapping,
+# first-number confidence regex, comma-split factor counts with the
+# min(1, n/16) clamp, and bullet counting. Numpy twin:
+# rules/reference_impl.report_parse (a line-loop port of the reference).
+# --------------------------------------------------------------------------
+
+def _contains(h: str, needle: str) -> str:
+    return f"instr({h}, {slit(needle)}) > 0"
+
+
+def report_parse_sql(d: str, table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    NL = "chr(10)"
+
+    def found_join(kws: tuple[str, ...]) -> str:
+        arr = str_array(kws, d)
+        hit = arr_filter(arr, "k -> instr(t, k) > 0", d)
+        return f"COALESCE({arr_join(hit, ', ', d)}, '')"
+
+    r_line = f"""CASE WHEN q.keep THEN 'READY FOR CURATION'
+          WHEN q.quality_score < {fmt(spec.R11_UNCLEAR_QUALITY_MAX)}
+            THEN 'STATUS UNCLEAR'
+          WHEN q.n_present <= {spec.R11_NOTREADY_SHORT_MAX}
+            THEN 'NOT READY'
+          ELSE 'NOT READY FOR CURATION' END"""
+    sig_word = (f"CASE WHEN q.n_present >= {spec.R11_SIG_YES_MIN} THEN 'yes' "
+                f"WHEN q.n_present = 0 THEN 'no' ELSE 'partial' END")
+    conf_num = ("CAST(CAST(FLOOR(q.quality_score * "
+                f"{fmt(100.0)}) AS BIGINT) AS INT)")
+    bullets = (f"repeat('- rule below threshold' || {NL}, "
+               f"CAST(5 - q.n_present AS INT))")
+    rpt = f" || {NL} || ".join([
+        slit(spec.R11_HDR_READINESS), f"({r_line})",
+        slit(spec.R11_HDR_SIGNATURES),
+        f"'- Presence of microbial signatures: ' || ({sig_word})",
+        slit(spec.R11_HDR_FACTORS),
+        f"'- General Factors Present: ' || "
+        f"{found_join(spec.FACTOR_LISTS['general'])}",
+        f"'- Environmental Factors Present: ' || "
+        f"{found_join(spec.FACTOR_LISTS['exec'])}",
+        slit(spec.R11_HDR_CONFIDENCE),
+        f"'Confidence: ' || CAST({conf_num} AS "
+        f"{'STRING' if d == SPARK else 'VARCHAR'})",
+        slit(spec.R11_HDR_REASONS) + f" || {NL} || {bullets}",
+    ])
+
+    def after_hdr(hdr: str) -> str:
+        return rx_extract("rpt", hdr + r"\n([^\n]*)", 1, d)
+
+    def after_label(label: str) -> str:
+        return rx_extract("rpt", label + r" ([^\n]*)", 1, d)
+
+    def comma_count(raw_payload: str) -> str:
+        # DuckDB's regexp_extract yields NULL for an EMPTY capture,
+        # Spark yields '' — normalize before counting
+        payload = f"COALESCE({raw_payload}, '')"
+        return (f"CASE WHEN {payload} = '' THEN 0 ELSE "
+                f"CAST(length({payload}) - "
+                f"length(replace({payload}, ',', '')) + 1 AS INT) END")
+
+    rl = f"upper({after_hdr(spec.R11_HDR_READINESS)})"
+    readiness = f"""CASE
+      WHEN {_contains(rl, 'READY FOR CURATION')} THEN 'READY'
+      WHEN {_contains(rl, 'NOT READY')} THEN 'NOT_READY'
+      WHEN {_contains(rl, 'READY')} AND NOT ({_contains(rl, 'NOT')})
+        THEN 'READY'
+      WHEN {_contains(rl, 'UNKNOWN')} OR {_contains(rl, 'UNCLEAR')}
+        THEN 'UNKNOWN'
+      ELSE 'UNKNOWN' END"""
+    sl = f"lower({after_label('Presence of microbial signatures:')})"
+    signatures = f"""CASE
+      WHEN {_contains(sl, 'yes')} THEN 'Present'
+      WHEN {_contains(sl, 'no')} THEN 'Absent'
+      WHEN {_contains(sl, 'partial')} THEN 'Partial'
+      ELSE 'Unknown' END"""
+    conf_sect = after_hdr(spec.R11_HDR_CONFIDENCE)
+    conf_extract = rx_extract(f"({conf_sect})", r"([0-9]+\.?[0-9]*)", 1, d)
+    confidence = f"CAST({conf_extract} AS DOUBLE)"
+    pg = after_label("General Factors Present:")
+    pe = after_label("Environmental Factors Present:")
+    reasons = rx_extract("rpt", r"(?s)" + spec.R11_HDR_REASONS + r"\n(.*)",
+                         1, d)
+    bullet_arr = rx_extract_all_full(f"(COALESCE({reasons}, ''))",
+                                     "(?m)^- ", d)
+    n_reasons = f"CAST(COALESCE({arr_len(bullet_arr, d)}, 0) AS INT)"
+    return f"""
+WITH q AS ({quality_core_sql(d, table, id_col, text_col)}),
+g AS (
+  SELECT q.row_id,
+         {rpt} AS rpt
+  FROM q JOIN (SELECT {id_col} AS row_id,
+                      lower(trim({text_col})) AS t FROM {table}) dd
+         ON q.row_id = dd.row_id
+),
+p AS (
+  SELECT row_id,
+         {readiness} AS readiness,
+         {signatures} AS signatures,
+         {confidence} AS confidence,
+         {comma_count(f'({pg})')} AS n_general,
+         {comma_count(f'({pe})')} AS n_env,
+         {n_reasons} AS n_reasons
+  FROM g
+)
+SELECT row_id, readiness, signatures, confidence, n_general, n_env,
+       LEAST({fmt(1.0)},
+             CAST(n_general + n_env AS DOUBLE) / {fmt(16.0)})
+         AS factor_score,
+       n_reasons
+FROM p
+"""

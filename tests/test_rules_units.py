@@ -239,3 +239,46 @@ def test_found_terms_numpy_vs_sql(_docs_duck):
         assert list(got[col]) == list(exp[col]), col
     # order preserved from the keyword list, not text order
     assert (got["n_found"] > 0).any() and (got["n_found"] == 0).sum() >= 0
+
+
+def test_report_parse_numpy_vs_sql(_docs_duck):
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _docs_duck
+    got = _duck_by_id(con, sqlgen.report_parse_sql(sqlgen.DUCK))
+    exp = ri.report_parse(docs["text"])
+    for col in exp.columns:
+        assert list(got[col]) == list(exp[col]), col
+
+
+def test_report_parser_branches_and_quirk():
+    """The literal R11 parser branches, including the reference's
+    substring-precedence quirk (gemini_qa.py:144-145): a
+    'NOT READY FOR CURATION' line contains 'READY FOR CURATION', so the
+    FIRST branch wins and it parses as READY; only the bare 'NOT READY'
+    form reaches the NOT_READY branch."""
+    mk = ri._r11_parse
+    base = ("CURATION READINESS ASSESSMENT:\n{r}\n"
+            "MICROBIAL SIGNATURE ANALYSIS:\n"
+            "- Presence of microbial signatures: {s}\n"
+            "FACTOR-BASED ANALYSIS:\n"
+            "- General Factors Present: {g}\n"
+            "- Environmental Factors Present: \n"
+            "CONFIDENCE LEVEL:\nConfidence: {c}\n"
+            "SPECIFIC REASONS FOR DECISION:\n{b}")
+    quirk = mk(base.format(r="NOT READY FOR CURATION", s="yes",
+                           g="table, scan", c="75", b=""))
+    assert quirk["readiness"] == "READY"          # the quirk, ported
+    assert quirk["signatures"] == "Present"
+    assert quirk["confidence"] == 75.0
+    assert quirk["n_general"] == 2 and quirk["n_env"] == 0
+    short = mk(base.format(r="NOT READY", s="no", g="", c="0",
+                           b="- a\n- b\n- c"))
+    assert short["readiness"] == "NOT_READY"      # bare form reaches it
+    assert short["signatures"] == "Absent"
+    assert short["n_reasons"] == 3
+    unclear = mk(base.format(r="STATUS UNCLEAR", s="partial", g="table",
+                             c="12.5", b=""))
+    assert unclear["readiness"] == "UNKNOWN"
+    assert unclear["signatures"] == "Partial"
+    assert unclear["confidence"] == 12.5
+    assert unclear["factor_score"] == 1 / 16
