@@ -99,7 +99,8 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              "dup_pixel_verify_images", "shipping_priority_top10",
              "local_supplier_volume", "field_confidence_documents",
              "methods_coverage_documents", "found_terms_documents",
-             "knn_join_top3", "stratified_sample_documents")
+             "knn_join_top3", "stratified_sample_documents",
+             "report_parse_documents")
     reg = registry()
     times = {}
     for name in heads:
