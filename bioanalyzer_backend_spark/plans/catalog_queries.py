@@ -786,6 +786,27 @@ ORDER BY ROUND(dp / (SQRT(NULLIF(na, CAST(0.0 AS DOUBLE))) * qn), 5) DESC,
 """
 
 
+def _q_pivot_keep_by_lang(d: str) -> str:
+    """K2 wide pivot (cli.py:553-649 CSV row-per-field export shape):
+    rule-status rows x one count column per language, expressed as
+    conditional aggregation — the dialect-portable (and at 10^12 rows
+    the SCALABLE) pivot: one groupBy, map-side partial aggregation, no
+    per-column shuffle; engine-native PIVOT syntax differs between
+    Spark and DuckDB but this form is identical in both."""
+    langs = ("de", "en", "es", "fr", "zz")
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN j.lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{lg}" for lg in langs)
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)}),
+j AS (SELECT q.status_stop AS status, dd.lang
+      FROM q JOIN documents dd ON q.row_id = dd.doc_id)
+SELECT status, {cols}
+FROM j
+GROUP BY status
+"""
+
+
 def _q_stratified_sample(d: str, n_per_key: int = 20) -> str:
     """Deterministic stratified sample: n docs per language, chosen by
     md5 order of the doc id — the per-language quota primitive of
@@ -978,6 +999,8 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     # R11: LLM-output section parser — generate the sectioned report,
     # parse it back with the literal reference rules (quirk included).
     "report_parse_documents": sqlgen.report_parse_sql,
+    # K2 wide pivot as conditional aggregation (portable + scalable).
+    "pivot_keep_by_lang": _q_pivot_keep_by_lang,
 }
 
 
