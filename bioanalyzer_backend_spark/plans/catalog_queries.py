@@ -577,6 +577,42 @@ GROUP BY event_type
 """
 
 
+def _q_sessionize_events(d: str, gap_minutes: int = 30) -> str:
+    """Gap-based sessionization: a user's events split into sessions
+    wherever consecutive events are more than gap_minutes apart (the
+    classic LAG -> boundary flag -> running-SUM session id), rolled up
+    to one row per (user, session). Both windows partition on user_id —
+    ONE shuffle total, and at 10^12 events a user_id-bucketed layout
+    makes it shuffle-free. Order is (ts, event_id) so ties are
+    deterministic in both engines."""
+    return f"""
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR ts > prev_ts + INTERVAL {gap_minutes} MINUTES
+              THEN 1 ELSE 0 END AS new_sess
+  FROM w
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_seq
+  FROM f
+)
+SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sess_seq
+"""
+
+
 def _q_events_summary(d: str) -> str:
     """A9: batch summary stats (count/min/max/sum) per event type."""
     return """
@@ -1001,6 +1037,8 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "report_parse_documents": sqlgen.report_parse_sql,
     # K2 wide pivot as conditional aggregation (portable + scalable).
     "pivot_keep_by_lang": _q_pivot_keep_by_lang,
+    # Gap-based sessionization (LAG -> boundary -> running sum).
+    "sessionize_events": _q_sessionize_events,
 }
 
 
