@@ -613,6 +613,60 @@ GROUP BY user_id, sess_seq
 """
 
 
+def _q_asof_join_events(d: str) -> str:
+    """As-of join (an operator Spark lacks natively), Spark-first: for
+    every 'error' event, the most recent 'click' by the SAME user at or
+    before it. Implemented as ONE sorted window pass — a running MAX of
+    click timestamps over the per-user event stream — instead of the
+    naive inequality self-join whose candidate set explodes
+    quadratically per user at 10^12 events. One shuffle (user_id);
+    bucketed-by-user layout makes it shuffle-free.
+
+    Output is the as-of LAG in whole seconds, not the raw matched
+    timestamp: tz-invariant and unit-identical in both engines (Spark
+    renders TIMESTAMP through the session zone, DuckDB is naive — a raw
+    timestamp column would hash-mismatch on representation alone)."""
+
+    def ep(e: str) -> str:
+        if d == SPARK:
+            return f"unix_timestamp({e})"
+        return f"CAST(floor(epoch({e})) AS BIGINT)"
+
+    return f"""
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST({ep('ts')} - {ep('last_click_ts')} AS BIGINT) AS lag_s
+FROM w
+WHERE event_type = 'error'
+"""
+
+
+def _q_range_join_events(d: str) -> str:
+    """Range join: band each event's value against a small interval
+    dimension (lo <= value < hi) — the dim is tiny and broadcasts, so
+    the inequality join is a map-side scan per row, never a cross
+    product; at 10^12 events this is the only sane plan and Catalyst
+    picks it from the declarative form."""
+    return """
+WITH bands(lo, hi, band) AS (
+  VALUES (CAST(0.0 AS DOUBLE), CAST(5.0 AS DOUBLE), 'low'),
+         (CAST(5.0 AS DOUBLE), CAST(20.0 AS DOUBLE), 'mid'),
+         (CAST(20.0 AS DOUBLE), CAST(1000000.0 AS DOUBLE), 'high')
+)
+SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(e.value) AS DOUBLE) AS total
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
 def _q_events_summary(d: str) -> str:
     """A9: batch summary stats (count/min/max/sum) per event type."""
     return """
@@ -1039,6 +1093,10 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "pivot_keep_by_lang": _q_pivot_keep_by_lang,
     # Gap-based sessionization (LAG -> boundary -> running sum).
     "sessionize_events": _q_sessionize_events,
+    # As-of join via one sorted window pass; range join via broadcast
+    # band dim (the two "operators Spark lacks" from the driver brief).
+    "asof_join_events": _q_asof_join_events,
+    "range_join_events": _q_range_join_events,
 }
 
 
