@@ -667,6 +667,28 @@ GROUP BY b.band
 """
 
 
+def _q_hypertable_rollup(d: str) -> str:
+    """Hypertable-style continuous-aggregate rollup (TimescaleDB
+    time_bucket shape): hourly buckets x event_type, count + sum. The
+    bucket is computed as epoch-hours (floor(epoch/3600)) rather than a
+    truncated TIMESTAMP so both engines emit the identical integer (a
+    raw truncated timestamp would differ in zone/precision rendering).
+    At 10^12 events this is the canonical incremental-rollup shape: the
+    agg is algebraic (map-side partial), the bucket column doubles as
+    the partition key of the rollup table, and refreshing a window
+    touches only its bucket partitions."""
+    ep = ("unix_timestamp(ts)" if d == SPARK
+          else "CAST(floor(epoch(ts)) AS BIGINT)")
+    return f"""
+SELECT CAST(FLOOR({ep} / CAST(3600 AS DOUBLE)) AS BIGINT) AS bucket_h,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_events_summary(d: str) -> str:
     """A9: batch summary stats (count/min/max/sum) per event type."""
     return """
@@ -1097,6 +1119,7 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     # band dim (the two "operators Spark lacks" from the driver brief).
     "asof_join_events": _q_asof_join_events,
     "range_join_events": _q_range_join_events,
+    "hypertable_rollup_events": _q_hypertable_rollup,
 }
 
 
