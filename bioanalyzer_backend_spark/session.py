@@ -59,9 +59,22 @@ def build_session(app_name: str = "bioanalyzer-spark",
     return b.getOrCreate()
 
 
+# (applicationId -> sf_dir) of the currently-registered view set. The
+# registry calls register_testdata_views once per entry; re-reading ten
+# parquet footers and re-planning ten views per query adds seconds of pure
+# overhead across a 70-entry sweep, so registration is memoized per
+# session and re-done only when the sf_dir actually changes.
+_VIEWS_FOR: dict[str, str] = {}
+
+
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver-provided parquet tables as temp views."""
+    """Register the driver-provided parquet tables as temp views
+    (idempotent per (session, sf_dir) — see _VIEWS_FOR)."""
+    app_id = spark.sparkContext.applicationId
+    if _VIEWS_FOR.get(app_id) == sf_dir:
+        return
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).createOrReplaceTempView(t)
+    _VIEWS_FOR[app_id] = sf_dir

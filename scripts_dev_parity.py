@@ -79,6 +79,7 @@ def main():
             n_ok += 1
         else:
             n_fail += 1
+        print(f"  ({time.time()-t0:.1f}s)")
     print(f"\n{n_ok} ok, {n_fail} fail")
     spark.stop()
     sys.exit(1 if n_fail else 0)

@@ -61,6 +61,46 @@ def test_simhash_candidates_cover_hamming3_pairs(spark):
         assert ("a", "b") in pairs
 
 
+def test_simhash_wide_mode_equals_default_mode(spark, synth_images_df):
+    """Wide-key candidate generation (6 blocks, 3-block ~32-bit keys,
+    C(6,3)=20 tables — the 10^12-row path) is COMPLETE for Hamming<=3 by
+    the same pigeonhole as the 4x16 default: after exact Hamming verify
+    the two modes must produce the identical pair set."""
+    df = synth_images_df.select("image_id", "caption").limit(300)
+
+    def verified(pairs):
+        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        return {(r.id_a, r.id_b) for r in
+                pairs.withColumn("h", ham).where("h <= 3")
+                .select("id_a", "id_b").collect()}
+
+    narrow = verified(dedup.simhash_candidates(df, max_bucket=None))
+    wide = verified(dedup.simhash_candidates(
+        df, n_blocks=6, agree_blocks=3, max_bucket=None))
+    assert wide == narrow
+    assert len(narrow) > 0          # synth corpus plants dup captions
+
+
+def test_simhash_auto_cap_bounds_degenerate_corpus(spark):
+    """Default max_bucket='auto' (round-2 verdict: the uncapped default
+    was a 100x landmine): a constant-caption corpus larger than the
+    derived cap collapses to ZERO candidate pairs with every dropped
+    bucket reported, while the explicit None opt-out reproduces the
+    n^2/2 explosion."""
+    n = 80                                  # > derived floor cap of 64
+    assert dedup.derived_bucket_cap(n, 16) == 64
+    rows = [(f"c{i:03d}", "identical template caption body")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    pairs, hot = dedup.simhash_candidates(df, return_report=True)
+    assert pairs.count() == 0               # every bucket hot -> dropped
+    report = hot.collect()
+    assert len(report) == 4                 # one per 16-bit block
+    assert all(r.bucket_n == n for r in report)
+    unc = dedup.simhash_candidates(df, max_bucket=None)
+    assert unc.count() == n * (n - 1) // 2  # the landmine, opt-in only
+
+
 # --------------------------------------------------------------------------
 # MinHash-LSH + Jaccard verify
 # --------------------------------------------------------------------------
@@ -447,7 +487,9 @@ def test_jaccard_verify_hot_shingle_cap_bounds_pairs(spark):
     report = {r["shingle"]: r["bucket_n"] for r in hot.collect()}
     assert any(n == 30 for n in report.values())
     assert all(n > 5 for n in report.values())
-    assert dedup.release_cap_caches() >= 1
+    # deprecated no-op: cap_buckets snapshots are ContextCleaner-owned
+    # (no module-global cache registry to release since round 3)
+    assert dedup.release_cap_caches() == 0
 
     # no cap requested -> empty report, same schema
     ver2, hot2 = dedup.jaccard_verify(df, all_pairs, threshold=0.5,
@@ -511,14 +553,61 @@ def test_knn_join_plan_broadcasts_queries(spark, emb_df):
 def test_dup_components_collapses_chains(spark):
     """Transitive chains collapse to one component (a~b, b~c => {a,b,c}
     share min-id canon) — the over-delete case pairwise dedup misses;
-    disjoint pairs stay separate; nodes outside any pair are absent."""
+    disjoint pairs stay separate; nodes outside any pair are absent.
+    Both algorithms (default large-star/small-star AND plain
+    propagation) must produce the identical labeling."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 9), (20, 21), (40, 7)],
         "id_a long, id_b long")
-    got = {r.id: r.component
-           for r in dedup.dup_components(pairs).collect()}
-    dedup.release_cap_caches()
-    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 7: 7, 40: 7}
+    want = {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 7: 7, 40: 7}
+    for algo in ("star", "propagation"):
+        got = {r.id: r.component for r in
+               dedup.dup_components(pairs, algorithm=algo).collect()}
+        assert got == want, algo
+
+
+def test_dup_components_string_ids(spark):
+    """String ids label with the min STRING id in native type — the old
+    blanket CAST(label AS BIGINT) silently NULLed every component for
+    non-numeric ids (round-2 advice, dedup.py:489)."""
+    pairs = spark.createDataFrame(
+        [("img_b", "img_a"), ("img_b", "img_c"), ("zz_1", "zz_2")],
+        "id_a string, id_b string")
+    for algo in ("star", "propagation"):
+        got = {r.id: r.component for r in
+               dedup.dup_components(pairs, algorithm=algo).collect()}
+        assert got == {"img_a": "img_a", "img_b": "img_a",
+                       "img_c": "img_a", "zz_1": "zz_1",
+                       "zz_2": "zz_1"}, algo
+
+
+def test_dup_components_deep_chain_star_converges(spark):
+    """Deep-chain graph (diameter 55 > default max_iters): plain
+    propagation moves the min label ONE hop per round, so the default
+    50-round budget must fail loudly — while the default large-star/
+    small-star path converges in O(log n) rounds with iterations to
+    spare and produces the exact labeling."""
+    chain = [(i, i + 1) for i in range(55)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_components(pairs, algorithm="propagation",
+                             max_iters=12)
+    # the default path (star, max_iters=50) has no trouble
+    got = {r.id: r.component for r in dedup.dup_components(pairs).collect()}
+    assert got == {i: 0 for i in range(56)}
+
+
+def test_dup_components_bridged_stars_not_premature(spark):
+    """Two high-id hubs sharing low-id leaves (a child bridging two
+    stars): convergence must NOT be declared while a child still has two
+    distinct parents — the labeling must still collapse everything into
+    one component."""
+    pairs = spark.createDataFrame(
+        [(10, 3), (11, 3), (10, 1), (11, 2)], "id_a long, id_b long")
+    for algo in ("star", "propagation"):
+        got = {r.id: r.component for r in
+               dedup.dup_components(pairs, algorithm=algo).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}, algo
 
 
 def test_dup_components_raises_when_unconverged(spark):
@@ -528,7 +617,7 @@ def test_dup_components_raises_when_unconverged(spark):
     chain = [(i, i + 1) for i in range(8)]       # diameter 8 path
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_components(pairs, max_iters=2)
+        dedup.dup_components(pairs, algorithm="propagation", max_iters=2)
     got = {r.id: r.component
            for r in dedup.dup_components(pairs, max_iters=20).collect()}
     assert set(got.values()) == {0}              # one path component
