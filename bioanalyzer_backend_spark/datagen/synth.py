@@ -200,6 +200,84 @@ IMAGES_SCHEMA = pa.schema([
 ])
 
 
+AUDIO_SCHEMA = pa.schema([
+    ("clip_id", pa.string()), ("bytes", pa.binary()), ("fmt", pa.string()),
+])
+
+VIDEO_SCHEMA = pa.schema([
+    ("video_id", pa.string()), ("bytes", pa.binary()), ("fmt", pa.string()),
+])
+
+
+def write_audio_parquet(out_dir: str, n_rows: int, seed: int = 43,
+                        force: bool = False) -> str:
+    """Deterministic synthetic audio table (clip_id, bytes, fmt):
+    mono PCM16 WAV sine+noise clips of varying rate/length, plus ~5%
+    compressed-container rows (MP3/FLAC magic bytes — no codec in this
+    sandbox) that must surface as error rows (F6). Generate-once cache
+    keyed by every generation parameter, like write_images_parquet."""
+    from ..operators.multimodal import encode_wav_pcm16
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"audio_n{n_rows}_s{seed}.parquet")
+    if os.path.exists(path) and not force:
+        return path
+    rng = np.random.default_rng(seed)
+    ids, blobs, fmts = [], [], []
+    for i in range(n_rows):
+        ids.append(f"clip{i:08d}")
+        u = float(rng.random())
+        if u < 0.03:                       # compressed container -> error
+            blobs.append(b"ID3\x03\x00" + rng.bytes(64))
+            fmts.append("mp3")
+        elif u < 0.05:
+            blobs.append(b"fLaC" + rng.bytes(64))
+            fmts.append("flac")
+        else:
+            rate = (8000, 16000)[int(rng.integers(0, 2))]
+            secs = 0.05 + float(rng.random()) * 0.2
+            t = np.arange(int(rate * secs)) / rate
+            freq = 100.0 + float(rng.random()) * 800.0
+            amp = 0.2 + float(rng.random()) * 0.6
+            wave = amp * np.sin(2 * np.pi * freq * t) \
+                + 0.02 * rng.standard_normal(t.size)
+            blobs.append(encode_wav_pcm16(wave, rate))
+            fmts.append("wav")
+    pq.write_table(pa.table({"clip_id": ids, "bytes": blobs, "fmt": fmts},
+                            schema=AUDIO_SCHEMA), path, row_group_size=4096)
+    return path
+
+
+def write_video_parquet(out_dir: str, n_rows: int, seed: int = 44,
+                        force: bool = False) -> str:
+    """Deterministic synthetic video table (video_id, bytes, fmt):
+    uncompressed RGB24 AVI clips (4-16 frames at 4 fps, small dims),
+    plus ~5% compressed-container rows (H.264-ish magic) that the frame
+    sampler must skip. Generate-once cache like write_images_parquet."""
+    from ..operators.multimodal import encode_avi_rgb24
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"video_n{n_rows}_s{seed}.parquet")
+    if os.path.exists(path) and not force:
+        return path
+    rng = np.random.default_rng(seed)
+    ids, blobs, fmts = [], [], []
+    for i in range(n_rows):
+        ids.append(f"vid{i:08d}")
+        if float(rng.random()) < 0.05:     # compressed container -> skip
+            blobs.append(b"\x00\x00\x00\x18ftypmp42" + rng.bytes(64))
+            fmts.append("mp4")
+        else:
+            n_frames = int(rng.integers(4, 17))
+            w = int(rng.integers(4, 9))
+            h = int(rng.integers(4, 9))
+            frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                      for _ in range(n_frames)]
+            blobs.append(encode_avi_rgb24(frames, fps=4))
+            fmts.append("avi")
+    pq.write_table(pa.table({"video_id": ids, "bytes": blobs, "fmt": fmts},
+                            schema=VIDEO_SCHEMA), path, row_group_size=4096)
+    return path
+
+
 def write_images_parquet(out_dir: str, n_rows: int, seed: int = 42,
                          dims=(16, 32, 64), force: bool = False) -> str:
     """Generate-once cache keyed by EVERY generation parameter —

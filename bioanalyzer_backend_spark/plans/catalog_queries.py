@@ -1410,6 +1410,56 @@ def _q_dup_pixel_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                       fin.alias("psnr_db"), "pixel_dup")
 
 
+_SYNTH_AV_ROWS = 600
+
+
+def _synth_audio_df(spark: SparkSession):
+    """Deterministic synthetic audio table off a parquet scan (same
+    bytes-never-in-task-payloads discipline as _synth_df)."""
+    import os
+
+    from ..datagen import synth
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), os.pardir, ".bench_cache")
+    path = synth.write_audio_parquet(os.path.abspath(cache), _SYNTH_AV_ROWS)
+    return spark.read.parquet(path)
+
+
+def _synth_video_df(spark: SparkSession):
+    import os
+
+    from ..datagen import synth
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), os.pardir, ".bench_cache")
+    path = synth.write_video_parquet(os.path.abspath(cache), _SYNTH_AV_ROWS)
+    return spark.read.parquet(path)
+
+
+def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: decode binary WAV/PCM16 column -> duration /
+    rate / RMS features + error rows for compressed containers
+    (mapInPandas, operators/multimodal.audio_features). Rows-only driver
+    check; the exact oracle is the known-sine pytest
+    (test_audio_features_wav_pcm16). Reference analogue: binary content
+    handling S2 (data_retrieval.py:258-357)."""
+    from ..operators import multimodal
+    return multimodal.audio_features(_synth_audio_df(spark))
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video: uncompressed-AVI frame sampling, one row per
+    sampled frame (mapInPandas row-multiplier); frame bytes projected to
+    lengths like the resize entry (binary stays out of the compare).
+    Rows-only driver check; exact oracle = pixel-exact pytest
+    (test_video_frame_sample_avi)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal
+    out = multimodal.video_frame_sample(_synth_video_df(spark), every_s=1.0)
+    return out.select("video_id", "frame_idx", "ts_s",
+                      F.length("bytes").alias("n_bytes"), "w", "h", "fmt")
+
+
 def _q_keep_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defused twin of qf_keep_by_lang: the hot-language groupBy runs
     as a two-phase salted aggregation (operators/skew.py) — same result,
@@ -1444,6 +1494,8 @@ _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_stats_multimodal": _q_image_stats,
     "resize_thumbs_multimodal": _q_resize_thumbs,
     "dup_pixel_verify_images": _q_dup_pixel_verify,
+    "audio_stats_multimodal": _q_audio_stats,
+    "video_frames_multimodal": _q_video_frames,
 }
 
 

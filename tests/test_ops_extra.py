@@ -431,6 +431,30 @@ def test_video_frame_sample_avi(spark):
     assert (px == frames[4]).all()                       # exact pixels
 
 
+def test_audio_video_registry_entries(spark):
+    """The rows-only audio/video registry entries read the generate-once
+    parquet corpora and produce plausible, fully-populated frames:
+    compressed containers surface as error rows (audio) or are skipped
+    (video), decoded rows carry real features."""
+    from bioanalyzer_backend_spark.plans.catalog_queries import registry
+
+    reg = registry()
+    audio = reg["audio_stats_multimodal"][0](spark, "unused").toPandas()
+    assert len(audio) == 600
+    bad = audio[~audio["ok"]]
+    assert len(bad) > 0 and bad["err"].notna().all()   # F6 error rows
+    ok = audio[audio["ok"]]
+    assert ok["sample_rate"].isin([8000, 16000]).all()
+    assert (ok["duration_s"] > 0).all() and (ok["rms"] > 0).all()
+
+    video = reg["video_frames_multimodal"][0](spark, "unused").toPandas()
+    assert video["video_id"].nunique() > 500           # mp4 rows skipped
+    # 4 fps + 1 s sampling -> every 4th frame, timestamps exact
+    assert (video["frame_idx"] % 4 == 0).all()
+    assert (video["ts_s"] == video["frame_idx"] * 0.25).all()
+    assert (video["n_bytes"] > 0).all()
+
+
 def test_minhash_cap_report_surfaces_dropped_buckets(spark):
     """return_report=True hands callers the skipped-bucket rows for the
     audit table (no silent caps at the public API)."""
