@@ -117,7 +117,29 @@ def apply_dedup_flag(df: DataFrame, key: str = "phash",
 
     is_dup falls out as ``id != canonical`` on the probe side, so no
     second pass over the input exists at all.
+
+    The bytes-never-network-shuffled invariant is therefore CONDITIONAL
+    on AQE (or an explicit hint): with AQE off and a large build side,
+    the probe join would sort-merge-shuffle the full byte-bearing frame.
+    That configuration is rejected loudly below rather than silently
+    degrading (round-2 advice, pipeline.py:128). Residual nuance, by
+    design: under AQE's broadcast conversion the probe side's shuffle-map
+    stage still spills its batches to LOCAL shuffle files before the
+    plan flips to broadcast + local shuffle read — disk, never the wire.
     """
+    from pyspark.sql.types import BinaryType
+
+    has_bytes = any(isinstance(f.dataType, BinaryType)
+                    for f in df.schema.fields)
+    if has_bytes and not broadcast_hint:
+        aqe = str(df.sparkSession.conf.get(
+            "spark.sql.adaptive.enabled", "true")).lower()
+        if aqe != "true":
+            raise ValueError(
+                "apply_dedup_flag on a byte-bearing frame needs AQE "
+                "(spark.sql.adaptive.enabled=true) or broadcast_hint=True "
+                "— otherwise the probe join network-shuffles the binary "
+                "column")
     slim = df.select(id_col, key)
     dup_groups = (slim.groupBy(key)
                   .agg(F.min(id_col).alias("_canon"), F.count("*").alias("_n"))

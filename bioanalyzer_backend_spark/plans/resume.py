@@ -23,6 +23,7 @@ becomes sequential staged jobs over bucket(image_id, N).
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
@@ -132,6 +133,15 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
             raise ValueError(
                 "stage_dir is required when the results table has no "
                 "local root (e.g. IcebergTable)")
+        # Best-effort sweep of stale stage-* dirs before staging anew:
+        # crash paths deliberately skip their own cleanup (a killed JVM
+        # cannot), and a resumed run stages under its OWN run_id — so a
+        # crashed run's staged copy (a full input copy, image bytes
+        # included) would otherwise accumulate per crash/resume cycle
+        # (round-2 advice, resume.py:168). Safe because a stage dir is
+        # only ever read by the run that created it, within this call.
+        for stale in glob.glob(os.path.join(stage_root, "stage-*")):
+            shutil.rmtree(stale, ignore_errors=True)
         stage_path = os.path.join(stage_root, f"stage-{run_id}")
         staged = stage_input(spark, images, stage_path, n_groups)
     for g in todo:

@@ -94,6 +94,25 @@ def test_dedup_broadcast_hint_is_gated(spark, synth_images_df):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
+def test_dedup_flag_rejects_bytes_without_aqe(spark, synth_images_df):
+    """The bytes-never-network-shuffled invariant is conditional on AQE
+    (or an explicit broadcast hint); that configuration hole must fail
+    loudly, not silently sort-merge-shuffle the binary column."""
+    import pytest
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with pytest.raises(ValueError, match="AQE"):
+            P.apply_dedup_flag(synth_images_df)
+        # explicit hint: allowed (caller asserts the build side is small)
+        P.apply_dedup_flag(synth_images_df, broadcast_hint=True)
+        # slim non-binary projection: allowed (nothing to protect)
+        P.apply_dedup_flag(synth_images_df.select("image_id", "phash"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_cheap_filter_stays_below_udf_barrier(spark, artifacts_dir):
     """A native where() composed after the UDF stage must still execute
     before Python (we order stages explicitly; Catalyst cannot push

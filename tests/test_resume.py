@@ -175,6 +175,25 @@ def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     assert got == [(4, "other"), (None, "lineage")]
 
 
+def test_stale_stage_dirs_swept_on_resume(spark, synth_images_df, tmp_path,
+                                          artifacts_dir):
+    """A crashed run leaves its staged input copy behind (a killed JVM
+    cannot clean up); the NEXT run must sweep stale stage-* dirs before
+    staging anew, or full input copies — image bytes included —
+    accumulate per crash/resume cycle."""
+    import glob
+    import os
+
+    df = synth_images_df.limit(150)
+    res, aud, ck = _tables(tmp_path / "sweep")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_resume(spark, df, res, aud, ck, n_groups=4, fail_after=1)
+    assert len(glob.glob(os.path.join(res.root, "stage-*"))) == 1
+
+    run_with_resume(spark, df, res, aud, ck, n_groups=4)
+    assert glob.glob(os.path.join(res.root, "stage-*")) == []
+
+
 def test_input_scanned_once_via_staging(spark, synth_images_df, tmp_path,
                                         artifacts_dir):
     """IO assertion for the staged-input design: the (expensive) input
