@@ -100,7 +100,15 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              "local_supplier_volume", "field_confidence_documents",
              "methods_coverage_documents", "found_terms_documents",
              "knn_join_top3", "stratified_sample_documents",
-             "report_parse_documents")
+             "report_parse_documents",
+             # round-2 additions, bench-tracked since round 3
+             "sessionize_events", "asof_join_events", "range_join_events",
+             "hypertable_rollup_events", "decontaminate_documents",
+             "simhash64_documents", "simhash_pairs_documents",
+             "dup_components_embeddings", "dedup_transitive_documents",
+             # round-3 additions
+             "simhash_pairs_wide_documents", "audio_stats_multimodal",
+             "video_frames_multimodal")
     reg = registry()
     times = {}
     for name in heads:

@@ -432,8 +432,15 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
     (no silent truncation)."""
     if n_blocks - agree_blocks < 1 or agree_blocks < 1:
         raise ValueError("need 1 <= agree_blocks < n_blocks")
+    # Materialize the signature table ONCE (slim id+int64 rows): every
+    # block table and both self-join sides re-reference it, and Spark
+    # re-executes a pandas UDF per plan branch — uncheckpointed, the
+    # wide mode would run the UDF 2 x C(n_blocks, agree_blocks) times.
+    # This is the standard "staged signature table" step of a warehouse
+    # dedup pipeline, just session-local here.
     sig = with_simhash(df.select(id_col, text_col), text_col) \
-        .select(F.col(id_col).alias("_id"), "simhash")
+        .select(F.col(id_col).alias("_id"), "simhash") \
+        .localCheckpoint(eager=True)
     widths = _block_widths(_SIMHASH_BITS, n_blocks)
     offs = [sum(widths[:i]) for i in range(n_blocks)]
 
@@ -535,26 +542,33 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str,
     analysis cost grows quadratically with iterations (measured 218 s vs
     ~20 s checkpointed for 7 rounds at 5k nodes). Data stays
     executor-resident; no cluster-wide checkpoint dir needed."""
-    p = pairs.selectExpr(f"{id_a} AS a", f"{id_b} AS b")
+    # snapshot the pair pipeline ONCE — nodes and edges both derive from
+    # it, and the upstream plan (LSH candidates + verify) is expensive
+    p = (pairs.selectExpr(f"{id_a} AS a", f"{id_b} AS b")
+         .localCheckpoint(eager=True))
     # node universe BEFORE dropping self-pairs: a (x, x) pair contributes
     # node x with component x, matching the WITH RECURSIVE oracle
     nodes = (p.selectExpr("a AS id").union(p.selectExpr("b AS id"))
              .distinct().localCheckpoint(eager=True))
     edges = (p.where(F.col("a") != F.col("b")).distinct()
              .localCheckpoint(eager=True))
+    one = F.lit(1).alias("bad")
     for _ in range(max_iters):
         # -- large-star: for every node u, connect each STRICTLY LARGER
         # neighbor to m = min(N(u) + {u})
         und = edges.union(edges.selectExpr("b AS a", "a AS b"))
         m = (und.groupBy("a").agg(F.min("b").alias("mb"))
              .select("a", F.least("mb", "a").alias("m")))
-        edges = (und.join(m, "a")
+        large = (und.join(m, "a")
                  .where(F.col("b") > F.col("a"))
                  .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                 .distinct().localCheckpoint(eager=True))
+                 .distinct())
         # -- small-star: orient (hi, lo); connect every smaller neighbor
-        # AND hi itself to m = min(N(hi) + {hi}) = min(lo)
-        ori = edges.selectExpr("greatest(a, b) AS a", "least(a, b) AS b") \
+        # AND hi itself to m = min(N(hi) + {hi}) = min(lo).
+        # ONE checkpoint per round, on the small-star output — the
+        # large-star plan nests one level under it, which is bounded
+        # (the quadratic-analysis trap needs unbounded nesting).
+        ori = large.selectExpr("greatest(a, b) AS a", "least(a, b) AS b") \
             .where(F.col("a") != F.col("b")).distinct()
         m = ori.groupBy("a").agg(F.min("b").alias("m"))
         j = ori.join(m, "a")
@@ -565,14 +579,14 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str,
         # Converged iff the edge set is a STAR FOREST: (1) no parent is
         # also a child, and (2) no child has two distinct parents — (1)
         # alone is not enough (a child bridging two stars passes it while
-        # its component is still split). Two slim limit-1 probe jobs per
-        # round over the checkpointed edges.
+        # its component is still split). Both probes union into ONE
+        # limit-1 job over the checkpointed edges.
         deep = (edges.select(F.col("b").alias("a"))
                 .join(edges.select("a"), "a", "left_semi")
-                .limit(1).count())
+                .select(one).limit(1))
         multi = (edges.groupBy("a").agg(F.count_distinct("b").alias("k"))
-                 .where(F.col("k") > 1).limit(1).count())
-        if deep == 0 and multi == 0:
+                 .where(F.col("k") > 1).select(one).limit(1))
+        if deep.union(multi).limit(1).count() == 0:
             labels = edges.selectExpr("a AS id", "b AS label")
             roots = (nodes.join(labels, "id", "left_anti")
                      .select("id", F.col("id").alias("label")))
