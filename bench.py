@@ -108,7 +108,8 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              "dup_components_embeddings", "dedup_transitive_documents",
              # round-3 additions
              "simhash_pairs_wide_documents", "audio_stats_multimodal",
-             "video_frames_multimodal")
+             "video_frames_multimodal", "gopher_repetition_documents",
+             "tfidf_top_terms_documents")
     reg = registry()
     times = {}
     for name in heads:

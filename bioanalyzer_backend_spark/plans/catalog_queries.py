@@ -1031,6 +1031,116 @@ WHERE ({h}) < CASE {arms} ELSE CAST(0 AS BIGINT) END
 """
 
 
+def _q_gopher_repetition(d: str) -> str:
+    """Repetition-based quality filters in the style of the Gopher rules
+    (Rae et al. 2021, public): per-doc fraction of tokens claimed by the
+    single most frequent 2-gram, and fraction of DUPLICATE 3-grams
+    (1 - distinct/total) — the signals that catch template spam and
+    keyboard-mash that length/stopword ratios miss. keep_repetition
+    applies the published-style thresholds (top-2gram <= 0.18,
+    dup-3gram <= 0.30; unmeasurable short docs pass by COALESCE(0)).
+
+    Scale shape at 10^12 rows: ZERO shuffles — both statistics are
+    per-row array expressions (the naive explode -> groupBy(doc, gram)
+    pipeline ships ~200 gram rows per doc, ~10^14 shuffle rows at
+    10^12 docs). The 2-gram mode is computed exactly via sorted-array
+    run lengths: boundary positions of the sorted gram array, run_j =
+    next_boundary - boundary_j, top count = max run. Out-of-bounds
+    element_at is guarded with greatest()/CASE — Spark's ANSI mode
+    THROWS on invalid array indices where DuckDB returns NULL — and
+    every division runs through NULLIF (ANSI divide-by-zero) with
+    CAST AS DOUBLE (DuckDB '/' is always float division, Spark's is
+    not)."""
+    toks = sqlgen.tokens_expr("text", d)
+    n = sqlgen.arr_len("toks", d)
+
+    def grams(k: int) -> str:
+        parts = ", ".join(sqlgen.arr_get("toks", f"i + {j}", d)
+                          for j in range(k))
+        return sqlgen.arr_transform(
+            sqlgen.int_seq("1", f"{n} - {k - 1}", d),
+            f"i -> concat_ws(' ', {parts})", d)
+
+    sort2 = (f"array_sort({grams(2)})" if d == SPARK
+             else f"list_sort({grams(2)})")
+    g3 = grams(3)
+    # boundary positions i where sorted s2 starts a new run; i=1 uses a
+    # self-compare via greatest() so no index-0 access ever evaluates.
+    # Every index stays INT (Spark's element_at rejects BIGINT indices).
+    prev = sqlgen.arr_get("s2", "CAST(greatest(i - 1, 1) AS INT)", d)
+    cur = sqlgen.arr_get("s2", "CAST(i AS INT)", d)
+    bpos = sqlgen.arr_filter(sqlgen.int_seq("1", "n2", d),
+                             f"i -> i = 1 OR {prev} <> {cur}", d)
+    nb = sqlgen.arr_len("bpos", d)
+    nxt = (f"CASE WHEN j + 1 <= {nb} "
+           f"THEN {sqlgen.arr_get('bpos', 'CAST(j + 1 AS INT)', d)} "
+           f"ELSE n2 + 1 END")
+    runs = sqlgen.arr_transform(
+        sqlgen.int_seq("1", nb, d),
+        f"j -> ({nxt}) - {sqlgen.arr_get('bpos', 'CAST(j AS INT)', d)}", d)
+    top_c = (f"array_max({runs})" if d == SPARK else f"list_max({runs})")
+    top_frac = "CAST(top_c AS DOUBLE) / NULLIF(n2, 0)"
+    dup_frac = ("CAST(1.0 AS DOUBLE) "
+                "- CAST(d3 AS DOUBLE) / NULLIF(n3, 0)")
+    z = "CAST(0.0 AS DOUBLE)"
+    return f"""
+WITH b AS (SELECT doc_id AS row_id, {toks} AS toks FROM documents),
+a AS (SELECT row_id, {sort2} AS s2,
+             CAST({sqlgen.arr_len(g3, d)} AS BIGINT) AS n3,
+             CAST({sqlgen.arr_len(sqlgen.arr_distinct(g3, d), d)} AS BIGINT)
+               AS d3
+      FROM b),
+p AS (SELECT row_id, n3, d3,
+             CAST({sqlgen.arr_len('s2', d)} AS INT) AS n2, s2
+      FROM a),
+q AS (SELECT row_id, n2, n3, d3, {bpos} AS bpos FROM p),
+r AS (SELECT row_id, n2, n3, d3,
+             CAST({top_c} AS BIGINT) AS top_c
+      FROM q)
+SELECT row_id,
+       ROUND({top_frac}, 5) AS top_bigram_frac,
+       ROUND({dup_frac}, 5) AS dup_trigram_frac,
+       (COALESCE({top_frac}, {z}) <= {sqlgen.fmt(0.18)}
+        AND COALESCE({dup_frac}, {z}) <= {sqlgen.fmt(0.30)})
+         AS keep_repetition
+FROM r
+"""
+
+
+def _q_tfidf_top_terms(d: str) -> str:
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (tf x ln(N/df)) — the corpus-statistics text-analysis primitive
+    (doc tagging, topic balance audits) a curation pipeline runs beside
+    the quality rules. Ranked on the ROUNDED score with a term
+    tie-break: ln() may differ between engines in the last ulp, and the
+    k-boundary must not depend on it (same lesson as the ANN exact-mode
+    rerank).
+
+    Scale shape at 10^12 rows: tf = one groupBy(doc, term) with
+    map-side combine; df = one agg over the distinct (doc, term) pairs;
+    the tf-df join is on term (df is vocabulary-sized — AQE broadcasts
+    a bounded vocabulary, shuffles an unbounded one); top-k is one
+    window shuffle on doc id. N arrives via a single-row cross join,
+    never a driver collect."""
+    toks = sqlgen.tokens_expr("text", d)
+    w = "ROUND(CAST(tf.tf AS DOUBLE) * LN(nn.n / CAST(df.df AS DOUBLE)), 5)"
+    return f"""
+WITH b AS (SELECT doc_id AS row_id, {toks} AS toks FROM documents),
+e AS (SELECT row_id, {sqlgen.explode_col('toks', 'g', d)} FROM b),
+tf AS (SELECT row_id, g, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM e GROUP BY row_id, g),
+df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY g),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT tf.row_id, tf.g AS term, {w} AS tfidf
+      FROM tf JOIN df ON tf.g = df.g CROSS JOIN nn),
+r AS (SELECT row_id, term, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY row_id
+                  ORDER BY tfidf DESC, term) AS INT) AS rn
+      FROM s)
+SELECT row_id, term, tfidf, rn FROM r WHERE rn <= 3
+"""
+
+
 def _q_dup_components(d: str) -> str:
     """Connected components of the embedding near-dup pair graph
     (component id = min vec_id reachable): the canonicalization step
@@ -1147,6 +1257,10 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "pack_sequences_documents": _q_pack_sequences,
     "mixture_sample_documents": _q_mixture_sample,
     "decontaminate_documents": _q_decontaminate,
+    # Repetition-quality filters (Gopher-style) + TF-IDF keyword
+    # extraction (round 3).
+    "gopher_repetition_documents": _q_gopher_repetition,
+    "tfidf_top_terms_documents": _q_tfidf_top_terms,
     # R11: LLM-output section parser — generate the sectioned report,
     # parse it back with the literal reference rules (quirk included).
     "report_parse_documents": sqlgen.report_parse_sql,
@@ -1570,6 +1684,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "audio_stats_multimodal",
     "video_frames_multimodal",
     "simhash_pairs_wide_documents",
+    "gopher_repetition_documents",
+    "tfidf_top_terms_documents",
     # --- r2 entries the truncated driver sweep never recorded ---
     "decontaminate_documents",
     "report_parse_documents",

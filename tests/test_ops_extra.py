@@ -431,6 +431,49 @@ def test_video_frame_sample_avi(spark):
     assert (px == frames[4]).all()                       # exact pixels
 
 
+def test_gopher_repetition_and_tfidf_semantics_duckdb():
+    """Threshold semantics of the repetition filter and the TF-IDF
+    ranking, checked on a hand-built corpus via the DuckDB rendering
+    (cross-engine equality is covered by test_oracle_parity; this pins
+    WHAT the rules decide)."""
+    import duckdb
+
+    from bioanalyzer_backend_spark.plans.catalog_queries import (
+        _q_gopher_repetition, _q_tfidf_top_terms)
+    from bioanalyzer_backend_spark.sqlgen import DUCK
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    spam = " ".join(["click here"] * 20)       # one bigram dominates
+    clean = ("the quick brown fox jumps over a lazy dog near the old "
+             "river bank today")
+    con.execute("INSERT INTO documents VALUES (0, ?, 'en', 's', 1), "
+                "(1, ?, 'en', 's', 1), (2, '', 'en', 's', 0)",
+                [spam, clean])
+
+    rep = {r[0]: r for r in
+           con.execute(_q_gopher_repetition(DUCK)).fetchall()}
+    assert rep[0][1] > 0.18 and rep[0][2] > 0.30   # spam fractions
+    assert not rep[0][3]                           # -> dropped
+    assert rep[1][3]                               # clean -> kept
+    assert rep[2][1] is None and rep[2][3]         # unmeasurable -> kept
+
+    tf = con.execute(_q_tfidf_top_terms(DUCK)).df()
+    con.execute("DROP TABLE documents")
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.execute("INSERT INTO documents VALUES "
+                "(0, 'alpha alpha alpha common', 'en', 's', 1), "
+                "(1, 'beta common', 'en', 's', 1), "
+                "(2, 'common', 'en', 's', 1)")
+    tf = con.execute(_q_tfidf_top_terms(DUCK)).df()
+    d0 = tf[(tf.row_id == 0) & (tf.rn == 1)].iloc[0]
+    assert d0["term"] == "alpha"                   # rare term outranks
+    common = tf[tf.term == "common"]
+    assert (common["tfidf"] == 0.0).all()          # df == N -> ln(1) = 0
+
+
 def test_audio_video_registry_entries(spark):
     """The rows-only audio/video registry entries read the generate-once
     parquet corpora and produce plausible, fully-populated frames:
