@@ -67,11 +67,23 @@ def build_session(app_name: str = "bioanalyzer-spark",
 _VIEWS_FOR: dict[str, str] = {}
 
 
+def invalidate_testdata_views(spark: SparkSession) -> None:
+    """Forget the memoized registration for this session. Call after
+    REPLACING one of the testdata view names with something else (the
+    streaming tests point ``documents`` at a stream view) — the memo
+    cannot detect that, and a later register call would silently keep
+    the impostor."""
+    _VIEWS_FOR.pop(spark.sparkContext.applicationId, None)
+
+
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver-provided parquet tables as temp views
-    (idempotent per (session, sf_dir) — see _VIEWS_FOR)."""
+    (idempotent per (session, sf_dir) — see _VIEWS_FOR; a dropped view
+    re-triggers registration, a REPLACED one needs
+    invalidate_testdata_views)."""
     app_id = spark.sparkContext.applicationId
-    if _VIEWS_FOR.get(app_id) == sf_dir:
+    if _VIEWS_FOR.get(app_id) == sf_dir \
+            and spark.catalog.tableExists("documents"):
         return
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")

@@ -87,3 +87,8 @@ def test_generated_sql_runs_on_streams(spark, tmp_path):
             pd.testing.assert_frame_equal(got, want)
     finally:
         spark.catalog.dropTempView("documents")
+        # this test pointed `documents` at a stream view; the memoized
+        # testdata registration must not believe its views are intact
+        from bioanalyzer_backend_spark.session import \
+            invalidate_testdata_views
+        invalidate_testdata_views(spark)
