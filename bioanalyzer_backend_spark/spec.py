@@ -96,6 +96,21 @@ SCRUB_CHAIN: tuple[tuple[str, str], ...] = (
     (WS_CLASS + "+", " "),
 )
 
+# Literal-substring guards for scrub steps: a pattern listed here can only
+# match a string that CONTAINS the literal, and no EARLIER chain step's
+# replacement text introduces it — so the SQL renderer may skip the regex
+# entirely when the RAW input lacks the literal (a fast substring scan).
+# Pure evaluation shortcut: output is bit-identical with or without the
+# guard, and rules/reference_impl ignores it (plain re.sub chain), which
+# the oracle parity + hypothesis equivalence tests pin. Why it exists:
+# the email pattern's fat leading char class backtracks at every start
+# position, and measured 10-20x slower when evaluated in the same stage
+# as the rule battery (JIT profile pollution) — on a crawl corpus where
+# ~95% of rows contain no '@' at all.
+SCRUB_GUARDS: dict[str, str] = {
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+": "@",
+}
+
 # --------------------------------------------------------------------------
 # Rule battery — five heuristic caption-quality rules.
 # Weights follow the reference's overall-score rollup shape

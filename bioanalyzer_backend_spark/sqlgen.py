@@ -212,10 +212,24 @@ def tokens_expr(col: str, d: str) -> str:
 
 
 def scrub_expr(col: str, d: str) -> str:
-    """The ordered PII/noise scrub chain (text_processing.py:110-125 style)."""
+    """The ordered PII/noise scrub chain (text_processing.py:110-125 style).
+
+    Steps with a spec.SCRUB_GUARDS literal render as
+    ``CASE WHEN col LIKE '%lit%' THEN <regex step> ELSE <chain so far>``
+    — a fast substring scan that skips the regex on the ~95% of rows
+    that cannot possibly match (soundness argued at SCRUB_GUARDS). The
+    taken CASE branch evaluates the prior chain exactly once per row, so
+    this changes evaluation COST only, never the value — pinned by the
+    hypothesis scrub==reference_impl property and the DuckDB oracle."""
     e = col
     for pattern, repl in spec.SCRUB_CHAIN:
-        e = rx_replace_all(e, pattern, repl, d)
+        step = rx_replace_all(e, pattern, repl, d)
+        guard = spec.SCRUB_GUARDS.get(pattern)
+        if guard is not None:
+            e = (f"CASE WHEN {col} LIKE {slit('%' + guard + '%')} "
+                 f"THEN {step} ELSE {e} END")
+        else:
+            e = step
     return f"trim({e})"
 
 
