@@ -133,9 +133,13 @@ def main_driver() -> None:
     images_path = _images_path()
     spark = _build(cpus)
     try:
+        # min of 3: the flagship is the first (cold) measurement of the
+        # run and this sandbox's outside load swings the same job 2-6x;
+        # two samples still land in one bad window too often
         flagship_sec, n_img = run_flagship(spark, images_path)
-        s2, _ = run_flagship(spark, images_path)   # min of 2 (see above)
-        flagship_sec = min(flagship_sec, s2)
+        for _ in range(2):
+            s2, _ = run_flagship(spark, images_path)
+            flagship_sec = min(flagship_sec, s2)
         qtimes = run_catalog_queries(spark, sf_dir)
     finally:
         spark.stop()
