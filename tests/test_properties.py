@@ -139,6 +139,61 @@ def test_spark_matches_oracle_on_random_unicode_batch(spark):
             == pdf["caption"].map(ri.scrub).values).all()
 
 
+def test_gopher_repetition_matches_python_reference(spark):
+    """Differential fuzz for the zero-shuffle repetition filter: the
+    sorted-array run-length mode + distinct-trigram fraction computed by
+    the Spark SQL rendering must match an independent per-row Python
+    reference (Counter over ri.tokenize n-grams) on adversarial and
+    seeded-random captions. keep flags compare exactly (the SQL keep
+    uses the UNROUNDED fractions); fractions compare within round-off."""
+    import random
+    from collections import Counter
+
+    from bioanalyzer_backend_spark.plans.catalog_queries import (
+        _q_gopher_repetition)
+    from bioanalyzer_backend_spark.session import invalidate_testdata_views
+    from bioanalyzer_backend_spark.sqlgen import SPARK
+
+    rng = random.Random(3)
+    words = ["click", "here", "now", "the", "fox", "数据", "نص", "🙂"]
+    caps = list(ADVERSARIAL)
+    for _ in range(60):
+        n = rng.randint(0, 30)
+        caps.append(" ".join(rng.choice(words) for _ in range(n)))
+
+    def ref(text):
+        toks = ri.tokenize(text)
+        g2 = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        g3 = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        top = (max(Counter(g2).values()) / len(g2)) if g2 else None
+        dup = (1.0 - len(set(g3)) / len(g3)) if g3 else None
+        keep = (top or 0.0) <= 0.18 and (dup or 0.0) <= 0.30
+        return top, dup, keep
+
+    pdf = pd.DataFrame({"doc_id": range(len(caps)), "text": caps,
+                        "lang": "en", "source": "s",
+                        "n_chars": [len(c) for c in caps]})
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {r["row_id"]: r for r in
+               spark.sql(_q_gopher_repetition(SPARK)).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+        invalidate_testdata_views(spark)
+    assert len(got) == len(caps)
+    for i, text in enumerate(caps):
+        top, dup, keep = ref(text)
+        g = got[i]
+        assert g["keep_repetition"] == keep, (i, text)
+        for want, have in ((top, g["top_bigram_frac"]),
+                           (dup, g["dup_trigram_frac"])):
+            if want is None:
+                assert have is None, (i, text)
+            else:
+                assert abs(have - want) <= 5e-6, (i, text, want, have)
+
+
 @given(st.lists(CAPTION, min_size=1, max_size=30))
 @settings(max_examples=100, deadline=None)
 def test_tokenize_batch_matches_per_row(captions):
