@@ -1,7 +1,10 @@
-"""Dev harness: compare spark vs duckdb for every registry query on sf0.01.
+"""Dev harness: compare spark vs duckdb for every registry query on sf0.01
+(or $SPARK_GRAFT_PARITY_SF_DIR — e.g. sf0.1 for a deeper sweep than the
+driver's own gate).
 
 Mimics the driver's order-insensitive value-hash compare (exact values).
 """
+import os
 import sys
 import time
 
@@ -12,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 from bioanalyzer_backend_spark.plans.catalog_queries import registry
 from bioanalyzer_backend_spark.session import build_session
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
