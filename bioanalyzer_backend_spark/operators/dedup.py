@@ -151,7 +151,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
            .selectExpr("_id", f"stack({n_bands}, {stack_args}) AS (band, sig)")
            .where(F.col("sig").isNotNull()))
     if max_bucket == "auto":
-        max_bucket = derived_bucket_cap(df.count(), n_rows * 16)
+        # no count job: at n_rows*16 >= 64 key bits the derived term
+        # 16n/2^bits is < 1 for any feasible corpus (n < 2^60), so the
+        # floor dominates — counting the input would re-execute its
+        # whole upstream plan to compute a constant
+        max_bucket = (derived_bucket_cap(0, n_rows * 16)
+                      if n_rows * 16 >= 60 else
+                      derived_bucket_cap(df.count(), n_rows * 16))
     hot = None
     if max_bucket is not None:
         sig, hot = cap_buckets(sig, ["band", "sig"], max_bucket)
@@ -462,7 +468,10 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
     for t in tables[1:]:
         allb = allb.unionByName(t)
     if max_bucket == "auto":
-        max_bucket = derived_bucket_cap(df.count(), key_bits)
+        # count the CHECKPOINTED signature frame (one row per input row,
+        # already materialized) — counting df would re-execute its whole
+        # upstream plan a second time just to derive the cap
+        max_bucket = derived_bucket_cap(sig.count(), key_bits)
     hot = None
     if max_bucket is not None:
         allb, hot = cap_buckets(allb, ["block", "key"], max_bucket)

@@ -345,9 +345,10 @@ def _q_simhash_pairs(d: str, capped: bool = True) -> str:
         f"simhash64 FROM sg" for b in range(4))
     ham = sqlgen.popcount(
         sqlgen.bxor("a.simhash64", "b.simhash64", d), d)
-    cap_ctes = """,
+    cap_ctes = f""",
 cap AS (SELECT GREATEST(CAST(64 AS BIGINT),
-                        CAST(FLOOR((16.0 * COUNT(*) + 65535) / 65536.0)
+                        CAST(FLOOR(({sqlgen.fmt(16.0)} * COUNT(*) + 65535)
+                                   / {sqlgen.fmt(65536.0)})
                              AS BIGINT)) AS mx FROM documents),
 hotb AS (SELECT block, key FROM
          (SELECT block, key, COUNT(*) AS bucket_n FROM bl
@@ -1054,7 +1055,13 @@ def _q_gopher_repetition(d: str) -> str:
     (1 - distinct/total) — the signals that catch template spam and
     keyboard-mash that length/stopword ratios miss. keep_repetition
     applies the published-style thresholds (top-2gram <= 0.18,
-    dup-3gram <= 0.30; unmeasurable short docs pass by COALESCE(0)).
+    dup-3gram <= 0.30) ONLY to docs with enough grams to make the
+    statistic meaningful (>= 9 bigrams / >= 8 trigrams, i.e. >= 10
+    tokens): a clean 5-token caption has top_bigram_frac >= 1/4 = 0.25
+    by pigeonhole alone, so an ungated threshold would reject every
+    short doc regardless of content (Gopher applies its repetition
+    rules behind a minimum-length gate for the same reason; shortness
+    itself is the core battery's length rule's job).
 
     Scale shape at 10^12 rows: ZERO shuffles — both statistics are
     per-row array expressions (the naive explode -> groupBy(doc, gram)
@@ -1098,7 +1105,10 @@ def _q_gopher_repetition(d: str) -> str:
     top_frac = "CAST(top_c AS DOUBLE) / NULLIF(n2, 0)"
     dup_frac = ("CAST(1.0 AS DOUBLE) "
                 "- CAST(d3 AS DOUBLE) / NULLIF(n3, 0)")
-    z = "CAST(0.0 AS DOUBLE)"
+    # min-gram gates: below them the fraction is NULL-or-meaningless and
+    # the doc passes (n2 < 9 OR ... is TRUE even when the frac is NULL)
+    keep = (f"((n2 < 9 OR {top_frac} <= {sqlgen.fmt(0.18)}) "
+            f"AND (n3 < 8 OR {dup_frac} <= {sqlgen.fmt(0.30)}))")
     return f"""
 WITH b AS (SELECT doc_id AS row_id, {toks} AS toks FROM documents),
 a AS (SELECT row_id, {sort2} AS s2,
@@ -1116,9 +1126,7 @@ r AS (SELECT row_id, n2, n3, d3,
 SELECT row_id,
        ROUND({top_frac}, 5) AS top_bigram_frac,
        ROUND({dup_frac}, 5) AS dup_trigram_frac,
-       (COALESCE({top_frac}, {z}) <= {sqlgen.fmt(0.18)}
-        AND COALESCE({dup_frac}, {z}) <= {sqlgen.fmt(0.30)})
-         AS keep_repetition
+       {keep} AS keep_repetition
 FROM r
 """
 
@@ -1300,17 +1308,21 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
 _SYNTH_ROWS = 2000
 
 
+def _bench_cache_dir() -> str:
+    """The repo-level generate-once corpus cache (shared with bench.py)."""
+    import os
+    return os.path.abspath(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.pardir, ".bench_cache"))
+
+
 def _synth_df(spark: SparkSession):
     """Deterministic synthetic image+caption table as a distributed parquet
     scan (generate-once cache). A driver-local createDataFrame would ship
     the binary column inside task payloads — exactly what breaks at scale —
     so the bytes come off a file scan like any real input."""
-    import os
-
     from ..datagen import synth
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), os.pardir, ".bench_cache")
-    path = synth.write_images_parquet(os.path.abspath(cache), _SYNTH_ROWS)
+    path = synth.write_images_parquet(_bench_cache_dir(), _SYNTH_ROWS)
     return spark.read.parquet(path).select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
@@ -1546,22 +1558,14 @@ _SYNTH_AV_ROWS = 600
 def _synth_audio_df(spark: SparkSession):
     """Deterministic synthetic audio table off a parquet scan (same
     bytes-never-in-task-payloads discipline as _synth_df)."""
-    import os
-
     from ..datagen import synth
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), os.pardir, ".bench_cache")
-    path = synth.write_audio_parquet(os.path.abspath(cache), _SYNTH_AV_ROWS)
+    path = synth.write_audio_parquet(_bench_cache_dir(), _SYNTH_AV_ROWS)
     return spark.read.parquet(path)
 
 
 def _synth_video_df(spark: SparkSession):
-    import os
-
     from ..datagen import synth
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), os.pardir, ".bench_cache")
-    path = synth.write_video_parquet(os.path.abspath(cache), _SYNTH_AV_ROWS)
+    path = synth.write_video_parquet(_bench_cache_dir(), _SYNTH_AV_ROWS)
     return spark.read.parquet(path)
 
 
@@ -1668,7 +1672,8 @@ def _materialize_shingles(spark: SparkSession, sf_dir: str) -> None:
     consumer goes through here. Idempotent per (session, sf_dir); a new
     sf_dir uncaches the stale view first."""
     app_id = spark.sparkContext.applicationId
-    if _SHINGLES_FOR.get(app_id) == sf_dir:
+    if _SHINGLES_FOR.get(app_id) == sf_dir \
+            and spark.catalog.tableExists("shingles_v"):
         return
     register_testdata_views(spark, sf_dir)
     if _SHINGLES_FOR.get(app_id) is not None:
@@ -1702,7 +1707,8 @@ def _materialize_minhash_sig(spark: SparkSession, sf_dir: str) -> None:
     dedup pipeline (computed once per corpus snapshot, reused by every
     candidate/verify/audit consumer)."""
     app_id = spark.sparkContext.applicationId
-    if _SIG_FOR.get(app_id) == sf_dir:
+    if _SIG_FOR.get(app_id) == sf_dir \
+            and spark.catalog.tableExists("minhash_sig_v"):
         return
     _materialize_shingles(spark, sf_dir)
     if _SIG_FOR.get(app_id) is not None:

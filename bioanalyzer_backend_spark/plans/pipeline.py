@@ -118,14 +118,19 @@ def apply_dedup_flag(df: DataFrame, key: str = "phash",
     is_dup falls out as ``id != canonical`` on the probe side, so no
     second pass over the input exists at all.
 
-    The bytes-never-network-shuffled invariant is therefore CONDITIONAL
-    on AQE (or an explicit hint): with AQE off and a large build side,
-    the probe join would sort-merge-shuffle the full byte-bearing frame.
-    That configuration is rejected loudly below rather than silently
-    degrading (round-2 advice, pipeline.py:128). Residual nuance, by
-    design: under AQE's broadcast conversion the probe side's shuffle-map
-    stage still spills its batches to LOCAL shuffle files before the
-    plan flips to broadcast + local shuffle read — disk, never the wire.
+    The bytes-never-network-shuffled property is therefore CONDITIONAL,
+    and the guard below closes only the CONFIGURED-off hole: a
+    byte-bearing frame with AQE disabled and no hint is rejected loudly
+    (round-2 advice, pipeline.py:128). Two residual cases remain, by
+    design rather than oversight: (1) even under AQE, if the measured
+    dup-group side exceeds the adaptive broadcast threshold the join
+    stays sort-merge and bytes DO shuffle — at that dup density no
+    driver-side strategy is safe, and the warehouse answer is the
+    bucket(phash, N) layout (shuffle-free agg + bucket-local probe,
+    tests/test_bucketing.py); (2) under AQE's broadcast conversion the
+    probe side's shuffle-map stage still spills its batches to LOCAL
+    shuffle files before the plan flips to a local shuffle read — disk,
+    never the wire.
     """
     from pyspark.sql.types import BinaryType
 

@@ -112,7 +112,8 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
                     fail_after: int | None = None,
                     fail_between_commits: bool = False,
                     fail_after_audit: bool = False,
-                    stage_dir: str | None = None) -> dict:
+                    stage_dir: str | None = None,
+                    sweep_stale_stages: bool = True) -> dict:
     """Process all uncommitted groups; returns run stats.
 
     ``fail_after`` aborts after that many group commits; with
@@ -120,6 +121,13 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
     and the audit append; with ``fail_after_audit`` it fires between the
     audit append and the checkpoint append (test hooks for the
     kill/restart scenarios of SURVEY.md section 5.5).
+
+    ``sweep_stale_stages`` (default on) removes crashed runs' stage-*
+    dirs under the stage root before staging anew; it assumes this run
+    OWNS the stage root exclusively — the default root (the results
+    table's directory) gives that for free, but callers pointing several
+    CONCURRENT runs at one shared ``stage_dir`` must pass False or the
+    sweep deletes a live sibling's staged input.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     repaired = reconcile(spark, results, audit, ckpt, run_id)
@@ -138,10 +146,13 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
         # cannot), and a resumed run stages under its OWN run_id — so a
         # crashed run's staged copy (a full input copy, image bytes
         # included) would otherwise accumulate per crash/resume cycle
-        # (round-2 advice, resume.py:168). Safe because a stage dir is
-        # only ever read by the run that created it, within this call.
-        for stale in glob.glob(os.path.join(stage_root, "stage-*")):
-            shutil.rmtree(stale, ignore_errors=True)
+        # (round-2 advice, resume.py:168). A stage dir is only ever read
+        # by the run that created it — but the sweep cannot tell a STALE
+        # sibling from a LIVE one, hence the exclusive-stage-root
+        # contract / opt-out documented above.
+        if sweep_stale_stages:
+            for stale in glob.glob(os.path.join(stage_root, "stage-*")):
+                shutil.rmtree(stale, ignore_errors=True)
         stage_path = os.path.join(stage_root, f"stage-{run_id}")
         staged = stage_input(spark, images, stage_path, n_groups)
     for g in todo:

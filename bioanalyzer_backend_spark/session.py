@@ -83,7 +83,7 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     invalidate_testdata_views)."""
     app_id = spark.sparkContext.applicationId
     if _VIEWS_FOR.get(app_id) == sf_dir \
-            and spark.catalog.tableExists("documents"):
+            and all(spark.catalog.tableExists(t) for t in TESTDATA_TABLES):
         return
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")

@@ -449,7 +449,8 @@ def test_gopher_repetition_and_tfidf_semantics_duckdb():
     clean = ("the quick brown fox jumps over a lazy dog near the old "
              "river bank today")
     con.execute("INSERT INTO documents VALUES (0, ?, 'en', 's', 1), "
-                "(1, ?, 'en', 's', 1), (2, '', 'en', 's', 0)",
+                "(1, ?, 'en', 's', 1), (2, '', 'en', 's', 0), "
+                "(3, 'sunset over the calm lake', 'en', 's', 1)",
                 [spam, clean])
 
     rep = {r[0]: r for r in
@@ -458,6 +459,9 @@ def test_gopher_repetition_and_tfidf_semantics_duckdb():
     assert not rep[0][3]                           # -> dropped
     assert rep[1][3]                               # clean -> kept
     assert rep[2][1] is None and rep[2][3]         # unmeasurable -> kept
+    # short clean doc: top share 0.25 by pigeonhole alone, but below the
+    # min-gram gate -> the repetition filter must NOT reject it
+    assert rep[3][1] == 0.25 and rep[3][3]
 
     tf = con.execute(_q_tfidf_top_terms(DUCK)).df()
     con.execute("DROP TABLE documents")

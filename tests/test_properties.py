@@ -167,7 +167,10 @@ def test_gopher_repetition_matches_python_reference(spark):
         g3 = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
         top = (max(Counter(g2).values()) / len(g2)) if g2 else None
         dup = (1.0 - len(set(g3)) / len(g3)) if g3 else None
-        keep = (top or 0.0) <= 0.18 and (dup or 0.0) <= 0.30
+        # thresholds gate only docs with enough grams (>=9 / >=8) — a
+        # short clean doc's top-bigram share is >0.18 by pigeonhole alone
+        keep = ((len(g2) < 9 or top <= 0.18)
+                and (len(g3) < 8 or dup <= 0.30))
         return top, dup, keep
 
     pdf = pd.DataFrame({"doc_id": range(len(caps)), "text": caps,
