@@ -681,6 +681,42 @@ def test_dup_components_bridged_stars_not_premature(spark):
         assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}, algo
 
 
+def test_dup_components_random_graphs_match_union_find(spark):
+    """Differential check of the large-star/small-star default on seeded
+    random graphs (mixed density, self-loops, duplicate edges) against a
+    plain union-find reference — the fixed-shape tests cover the sharp
+    edges; this sweeps arbitrary topologies."""
+    import random
+
+    rng = random.Random(11)
+    for case in range(6):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: min(y for y in touched if find(y) == find(x))
+                for x in touched}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.id: r.component for r in
+               dedup.dup_components(pairs).collect()}
+        assert got == want, (case, edges)
+
+
 def test_dup_components_raises_when_unconverged(spark):
     """An unconverged run must FAIL LOUDLY, never return partially
     propagated labels (they would silently split true components and
