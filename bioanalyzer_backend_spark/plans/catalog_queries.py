@@ -1131,7 +1131,19 @@ FROM r
 """
 
 
-def _q_tfidf_top_terms(d: str) -> str:
+def _q_tfidf_tf_inline(d: str) -> str:
+    """The per-(doc, term) term-frequency aggregate the TF-IDF entry
+    builds on (standalone so the Spark side can stage it as a cached
+    view — it feeds BOTH the df rollup and the scoring join)."""
+    toks = sqlgen.tokens_expr("text", d)
+    return f"""
+WITH b AS (SELECT doc_id AS row_id, {toks} AS toks FROM documents),
+e AS (SELECT row_id, {sqlgen.explode_col('toks', 'g', d)} FROM b)
+SELECT row_id, g, CAST(COUNT(*) AS BIGINT) AS tf
+FROM e GROUP BY row_id, g"""
+
+
+def _q_tfidf_top_terms(d: str, tf_src: str | None = None) -> str:
     """Per-document keyword extraction: top-3 terms by TF-IDF
     (tf x ln(N/df)) — the corpus-statistics text-analysis primitive
     (doc tagging, topic balance audits) a curation pipeline runs beside
@@ -1141,18 +1153,15 @@ def _q_tfidf_top_terms(d: str) -> str:
     rerank).
 
     Scale shape at 10^12 rows: tf = one groupBy(doc, term) with
-    map-side combine; df = one agg over the distinct (doc, term) pairs;
-    the tf-df join is on term (df is vocabulary-sized — AQE broadcasts
-    a bounded vocabulary, shuffles an unbounded one); top-k is one
-    window shuffle on doc id. N arrives via a single-row cross join,
-    never a driver collect."""
-    toks = sqlgen.tokens_expr("text", d)
+    map-side combine, STAGED once on the Spark side (``tf_src``) since
+    two branches consume it; df = one agg over the staged tf; the tf-df
+    join is on term (df is vocabulary-sized — AQE broadcasts a bounded
+    vocabulary, shuffles an unbounded one); top-k is one window shuffle
+    on doc id. N arrives via a single-row cross join, never a driver
+    collect."""
     w = "ROUND(CAST(tf.tf AS DOUBLE) * LN(nn.n / CAST(df.df AS DOUBLE)), 5)"
     return f"""
-WITH b AS (SELECT doc_id AS row_id, {toks} AS toks FROM documents),
-e AS (SELECT row_id, {sqlgen.explode_col('toks', 'g', d)} FROM b),
-tf AS (SELECT row_id, g, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM e GROUP BY row_id, g),
+WITH tf AS ({tf_src or _q_tfidf_tf_inline(d)}),
 df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY g),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
 s AS (SELECT tf.row_id, tf.g AS term, {w} AS tfidf
@@ -1658,32 +1667,39 @@ _MAT_SHINGLE_BUILDERS: dict[str, Callable[..., str]] = {
 
 MAT_SHINGLE_SRC = "SELECT * FROM shingles_v"
 
-# (applicationId -> sf_dir) the cached shingles_v was built from. Five
-# registry entries consume the view; without the memo each one re-created
-# and re-cached it, re-running the tokenize+shingle pass per entry — the
-# dominant cost of the sf0.01 correctness sweep.
-_SHINGLES_FOR: dict[str, str] = {}
+# Per-view (applicationId -> sf_dir) memos for the cached intermediate
+# views below. Several registry entries consume each view; without the
+# memo each one re-created and re-cached it, re-running the expensive
+# upstream pass per entry — the dominant cost of the sf0.01 sweep.
+_MAT_VIEW_FOR: dict[str, dict[str, str]] = {}
+
+
+def _materialize_view(spark: SparkSession, sf_dir: str, name: str,
+                      sql: str) -> None:
+    """Register + cache ``name`` as ``sql`` (ONE evaluation feeding every
+    plan branch AND every consuming registry entry — Spark re-inlines
+    CTEs per branch). Locally a cached temp view; at warehouse scale
+    each of these IS a staged intermediate table (shingles, signatures,
+    term frequencies) of a curation pipeline. Idempotent per
+    (session, sf_dir); a vanished view or a new sf_dir re-materializes,
+    uncaching the stale cache entry first."""
+    memo = _MAT_VIEW_FOR.setdefault(name, {})
+    app_id = spark.sparkContext.applicationId
+    if memo.get(app_id) == sf_dir and spark.catalog.tableExists(name):
+        return
+    register_testdata_views(spark, sf_dir)
+    if memo.get(app_id) is not None:
+        try:
+            spark.catalog.uncacheTable(name)
+        except Exception:
+            pass  # view dropped externally — nothing stale to release
+    spark.sql(sql).createOrReplaceTempView(name)
+    spark.catalog.cacheTable(name)
+    memo[app_id] = sf_dir
 
 
 def _materialize_shingles(spark: SparkSession, sf_dir: str) -> None:
-    """Register + cache the shared shingle view (ONE tokenize+shingle
-    pass feeding every branch AND every consuming registry entry). The
-    single place the materialization protocol lives — every MAT-shingle
-    consumer goes through here. Idempotent per (session, sf_dir); a new
-    sf_dir uncaches the stale view first."""
-    app_id = spark.sparkContext.applicationId
-    if _SHINGLES_FOR.get(app_id) == sf_dir \
-            and spark.catalog.tableExists("shingles_v"):
-        return
-    register_testdata_views(spark, sf_dir)
-    if _SHINGLES_FOR.get(app_id) is not None:
-        try:
-            spark.catalog.uncacheTable("shingles_v")
-        except Exception:
-            pass  # view dropped externally — nothing stale to release
-    spark.sql(_shingles(SPARK)).createOrReplaceTempView("shingles_v")
-    spark.catalog.cacheTable("shingles_v")
-    _SHINGLES_FOR[app_id] = sf_dir
+    _materialize_view(spark, sf_dir, "shingles_v", _shingles(SPARK))
 
 
 def _mk_spark_fn_mat_shingles(builder: Callable[..., str]):
@@ -1695,38 +1711,38 @@ def _mk_spark_fn_mat_shingles(builder: Callable[..., str]):
 
 MAT_SIG_SRC = "SELECT * FROM minhash_sig_v"
 
-_SIG_FOR: dict[str, str] = {}
-
 
 def _materialize_minhash_sig(spark: SparkSession, sf_dir: str) -> None:
-    """Register + cache the banded-MinHash signature view on top of the
-    cached shingle view — the band-capped candidates query references
-    ``sig`` from three join branches and Spark re-inlines CTEs per
-    branch, re-running the md5/min pipeline each time. Locally a cached
-    view; at warehouse scale this IS the staged signature table of a
-    dedup pipeline (computed once per corpus snapshot, reused by every
-    candidate/verify/audit consumer)."""
-    app_id = spark.sparkContext.applicationId
-    if _SIG_FOR.get(app_id) == sf_dir \
-            and spark.catalog.tableExists("minhash_sig_v"):
-        return
+    """The banded-MinHash signature view on top of the cached shingle
+    view — the band-capped candidates query references ``sig`` from
+    three join branches (bucket counts, anti-join probe, self-join)."""
     _materialize_shingles(spark, sf_dir)
-    if _SIG_FOR.get(app_id) is not None:
-        try:
-            spark.catalog.uncacheTable("minhash_sig_v")
-        except Exception:
-            pass
-    spark.sql(
+    _materialize_view(
+        spark, sf_dir, "minhash_sig_v",
         f"WITH {_minhash_sig_ctes_inline(SPARK, shingle_src=MAT_SHINGLE_SRC)} "
-        f"SELECT * FROM sig").createOrReplaceTempView("minhash_sig_v")
-    spark.catalog.cacheTable("minhash_sig_v")
-    _SIG_FOR[app_id] = sf_dir
+        f"SELECT * FROM sig")
 
 
 def _mk_spark_fn_mat_sig(builder: Callable[..., str]):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _materialize_minhash_sig(spark, sf_dir)
         return spark.sql(builder(SPARK, sig_src=MAT_SIG_SRC))
+    return fn
+
+
+MAT_TF_SRC = "SELECT * FROM tfidf_tf_v"
+
+
+def _mk_spark_fn_mat_tf(builder: Callable[..., str]):
+    """Spark side of the TF-IDF entry: the per-(doc, term) tf aggregate
+    feeds BOTH the df rollup and the scoring join; inlined per branch it
+    re-runs tokenize+explode+groupBy twice. Materialized once (at
+    warehouse scale: the staged term-frequency table every corpus-stat
+    consumer shares); DuckDB keeps the inline CTEs from the builder."""
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _materialize_view(spark, sf_dir, "tfidf_tf_v",
+                          _q_tfidf_tf_inline(SPARK))
+        return spark.sql(builder(SPARK, tf_src=MAT_TF_SRC))
     return fn
 
 
@@ -1782,6 +1798,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             # Spark side scans the cached signature view (computed once);
             # DuckDB oracle keeps the inline CTEs from the same builder.
             reg[name] = (_mk_spark_fn_mat_sig(builder), builder(DUCK))
+        elif name == "tfidf_top_terms_documents":
+            reg[name] = (_mk_spark_fn_mat_tf(builder), builder(DUCK))
         elif name in _MAT_SHINGLE_BUILDERS:
             reg[name] = (_mk_spark_fn_mat_shingles(builder), builder(DUCK))
         else:
