@@ -33,15 +33,34 @@ def exact_dedup(df: DataFrame, key: str = "phash",
     groupBy+min instead of a window: the algebraic aggregate gets
     map-side partial combine, so a mass-duplicated key reduces to one row
     per map task instead of concentrating all rows in one window reducer
-    (same rationale as plans/pipeline.apply_dedup_flag)."""
-    slim = (df.select(id_col, key)
+    (same rationale as plans/pipeline.apply_dedup_flag).
+
+    NULL keys are NOT duplicates of each other (an undecodable image's
+    phash is NULL, error-row semantics): those rows pass through
+    untouched — grouping them would silently keep only one of n distinct
+    broken rows, and apply_dedup_flag's join-based twin already leaves
+    NULL keys non-dup (NULL never equi-matches)."""
+    nn = df.where(F.col(key).isNotNull())
+    slim = (nn.select(id_col, key)
             .groupBy(key).agg(F.min(id_col).alias(id_col))
             .select(id_col))
-    return df.join(slim, id_col, "left_semi")
+    return (nn.join(slim, id_col, "left_semi")
+            .unionByName(df.where(F.col(key).isNull())))
 
 
 def _tokens_col(text_col: str):
     return F.expr(sqlgen.tokens_expr(text_col, sqlgen.SPARK))
+
+
+def _shingle_array_expr(n: int = 3) -> str:
+    """Distinct word n-gram shingle ARRAY over a ``toks`` column — the
+    ONE definition both the exploded shingles() view and the minhash
+    signature pipeline build from (two hand-kept copies previously
+    risked silently diverging the Spark/DuckDB bit-for-bit agreement)."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    seq = sqlgen.int_seq("1", f"size(toks) - {n - 1}", sqlgen.SPARK)
+    return (f"array_distinct(transform({seq}, "
+            f"i -> concat_ws(' ', {parts})))")
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str,
@@ -49,11 +68,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str,
     """(id, shingle) pairs: distinct word n-gram shingles."""
     toks = df.select(F.col(id_col).alias("_id"),
                      _tokens_col(text_col).alias("toks"))
-    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
-    sh = toks.selectExpr(
-        "_id",
-        f"array_distinct(transform({sqlgen.int_seq('1', f'size(toks) - {n-1}', sqlgen.SPARK)}, "
-        f"i -> concat_ws(' ', {parts}))) AS sh")
+    sh = toks.selectExpr("_id", f"{_shingle_array_expr(n)} AS sh")
     return sh.select("_id", F.explode("sh").alias("shingle"))
 
 
@@ -127,11 +142,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
     """
     toks = df.select(F.col(id_col).alias("_id"),
                      _tokens_col(text_col).alias("toks"))
-    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(3))
-    sh = toks.selectExpr(
-        "_id",
-        f"array_distinct(transform({sqlgen.int_seq('1', 'size(toks) - 2', sqlgen.SPARK)}, "
-        f"i -> concat_ws(' ', {parts}))) AS sh")
+    sh = toks.selectExpr("_id", f"{_shingle_array_expr(3)} AS sh")
     n_digests = -(-(n_bands * n_rows) // 8)
     sh = sh.selectExpr("_id", *[
         (f"transform(sh, g -> md5('{'~' * k}' || g)) AS hs{k}" if k
@@ -235,8 +246,6 @@ _SIMHASH_BITS = 64
 # the win is hashing each DISTINCT token once per worker, not once per row)
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 _TOKEN_HASH_CACHE_MAX = 1 << 20
-# max padded (row x token) slots per vote-tally chunk (x64 bytes gathered)
-_VOTE_BUDGET = 1 << 22
 
 
 def _token_hash64(tok: str) -> int:

@@ -177,8 +177,15 @@ def verify_dup_groups(df: DataFrame, psnr_min: float = 40.0,
                "canonical_id": canon_id, "psnr_db": [], "pixel_dup": []}
         for i, px in enumerate(decoded):
             if i == 0:
-                out["psnr_db"].append(float("inf"))
-                out["pixel_dup"].append(True)
+                # the canonical verifies against itself ONLY if its own
+                # bytes decode — an undecodable canonical must surface as
+                # an error row (F6), not as a phantom inf-PSNR "verified"
+                if canon_px is None:
+                    out["psnr_db"].append(None)
+                    out["pixel_dup"].append(False)
+                else:
+                    out["psnr_db"].append(float("inf"))
+                    out["pixel_dup"].append(True)
             elif px is None or canon_px is None \
                     or px.shape != canon_px.shape:
                 out["psnr_db"].append(None)

@@ -55,18 +55,23 @@ def _planes(dim: int, n_planes: int, seed: int = 97) -> np.ndarray:
 
 def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
                     vec_col: str = "embedding", seed: int = 97) -> DataFrame:
-    """Append an int bucket = sign-bit signature of seeded hyperplanes.
-    One matmul per Arrow batch."""
+    """Append a LONG bucket = sign-bit signature of seeded hyperplanes.
+    One matmul per Arrow batch. The column is int64 end to end: an int32
+    signature silently wraps negative at n_planes >= 32 while the
+    Python-side query signature stays an unwrapped int, so every XOR
+    grows 32 phantom bits and radius probes return nothing."""
+    if not 1 <= n_planes <= 63:
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
     planes = _planes(dim, n_planes, seed)
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
         mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
         if mat.size == 0:
-            return pd.Series(np.zeros(0, dtype=np.int32))
+            return pd.Series(np.zeros(0, dtype=np.int64))
         bits = (mat @ planes) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((bits @ weights).astype(np.int32))
+        return pd.Series((bits @ weights).astype(np.int64))
 
     return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
 
@@ -159,21 +164,31 @@ def embedding_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                             n_planes: int = 12, vec_col: str = "embedding",
                             id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-dup: same-bucket candidate pairs -> exact
-    cosine >= threshold. Bucket join keeps the pair space tractable; each
-    vector's norm is computed once BEFORE the join, so per-pair work is a
-    single dot product rather than three."""
-    b = (with_lsh_bucket(df, dim, n_planes, vec_col)
-         .withColumn("nrm", F.expr(f"SQRT({_dot_expr(vec_col, vec_col)})")))
-    a, c = b.alias("a"), b.alias("b")
-    pairs = (a.join(c, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col(f"a.{vec_col}").alias("va"),
-                     F.col(f"b.{vec_col}").alias("vb"),
-                     (F.col("a.nrm") * F.col("b.nrm")).alias("nn")))
+    cosine >= threshold.
+
+    Shuffle hygiene (same discipline knn_join_lsh documents): the bucket
+    self-join carries SLIM (id, bucket) rows only — shipping full float
+    vectors through the candidate join would duplicate every vector once
+    per candidate pair on the wire. Vectors (with norms hoisted, so
+    per-pair work is one dot product) re-attach BY ID after the pair set
+    exists."""
+    b = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes, vec_col)
+    slim = b.select(F.col(id_col).alias("_id"), "lsh_bucket")
+    a, c = slim.alias("a"), slim.alias("b")
+    cand = (a.join(c, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b")))
+    vecs = df.select(F.col(id_col).alias("_vid"),
+                     F.col(vec_col).alias("_v")) \
+        .withColumn("_n", F.expr(f"SQRT({_dot_expr('_v', '_v')})"))
+    pairs = (cand
+             .join(vecs.selectExpr("_vid AS id_a", "_v AS va", "_n AS na"),
+                   "id_a")
+             .join(vecs.selectExpr("_vid AS id_b", "_v AS vb", "_n AS nb"),
+                   "id_b"))
     scored = pairs.selectExpr(
-        "id_a", "id_b", f"{_dot_expr('va', 'vb')} / nn AS cos_sim")
+        "id_a", "id_b", f"{_dot_expr('va', 'vb')} / (na * nb) AS cos_sim")
     return scored.where(F.col("cos_sim") >= threshold)
 
 

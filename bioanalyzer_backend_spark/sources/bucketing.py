@@ -35,10 +35,21 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
 def plan_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains any shuffle Exchange node.
     (BroadcastExchange is excluded: broadcasting a dim table is the
-    desired plan, not a data shuffle.)"""
+    desired plan, not a data shuffle.)
+
+    The operator name is found by stripping the FULL tree-drawing prefix
+    — including ':' (non-last join children print as ':- ...') and the
+    codegen '*(n)' marker — and ReusedExchange counts too: a previous
+    version stripped only '+-* ', so the left side of a sort-merge join
+    (':  +- Exchange hashpartitioning') was invisible and a shuffle
+    regression on a bucketed join passed the no-Exchange assertion
+    silently."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return any(line.lstrip("+-* ").startswith("Exchange")
-               for line in plan.splitlines())
+    for line in plan.splitlines():
+        op = line.lstrip(" :+-*()0123456789")
+        if op.startswith("Exchange") or op.startswith("ReusedExchange"):
+            return True
+    return False
 
 
 def bucketed_table(spark: SparkSession, table: str) -> DataFrame:

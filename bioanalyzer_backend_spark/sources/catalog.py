@@ -357,9 +357,16 @@ class IdempotentBatchAppender:
 
 
 def have_iceberg(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is actually on the classpath.
+
+    py4j returns a JavaPackage object (NO exception) for a class it
+    cannot resolve, so the old bare attribute probe was always truthy
+    and the loud no-runtime ValueError in open_table was dead code; a
+    resolvable class comes back as JavaClass instead."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
-        return True
+        from py4j.java_gateway import JavaClass
+        return isinstance(spark._jvm.org.apache.iceberg.Table,  # noqa: SLF001
+                          JavaClass)
     except Exception:
         return False
 

@@ -108,6 +108,20 @@ def _make_dedup_state_fn(state_ttl_ms: int):
         if state.hasTimedOut:
             state.remove()
             return
+        if key[0] is None or pd.isna(key[0]):
+            # NULL phash = undecodable image (error-row semantics): such
+            # rows are NOT duplicates of each other, matching the batch
+            # twin apply_dedup_flag where a NULL key never equi-matches.
+            # (The null group key crosses Arrow as NaN, not Python None.)
+            # No state: a NULL canonical would flag every later broken
+            # row as a dup of the first one.
+            for pdf in pdfs:
+                if len(pdf):
+                    yield pd.DataFrame(
+                        {"image_id": pdf["image_id"].to_numpy(),
+                         "phash": None,
+                         "is_dup": [False] * len(pdf)})
+            return
         canon = state.get[0] if state.exists else None
         # a group larger than the Arrow batch size arrives as SEVERAL
         # chunks — concat before sorting, else the canonical would be the

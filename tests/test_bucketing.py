@@ -56,6 +56,21 @@ def test_cobucketed_join_has_no_exchange(spark, bucketed_pair,
     assert joined.count() > 0
 
 
+def test_plan_probe_sees_join_child_exchanges(spark, synth_images_df,
+                                              no_aqe_no_broadcast):
+    """The Exchange probe must see shuffle nodes in NON-LAST join
+    children (printed with a ':' tree prefix) and ReusedExchange — a
+    previous version stripped only '+-* ', so an unbucketed sort-merge
+    join read as exchange-free and the no-shuffle assertions could never
+    fail."""
+    slim = synth_images_df.select("image_id", "phash")
+    other = slim.withColumnRenamed("image_id", "other_id")
+    joined = slim.join(other, "phash")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert any(line.lstrip().startswith(":") for line in plan.splitlines())
+    assert bucketing.plan_has_exchange(joined)
+
+
 def test_cobucketed_join_matches_plain_join(spark, bucketed_pair,
                                             synth_images_df):
     a, b = bucketed_pair

@@ -170,6 +170,16 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == ["i1", "i2"]
 
 
+def test_exact_dedup_null_keys_pass_through(spark):
+    """NULL keys (undecodable images) are NOT duplicates of each other:
+    every NULL-key row survives — the old groupBy treated NULL as one
+    group and silently dropped all but the min-id broken row."""
+    rows = [("i3", 7), ("i1", 7), ("n1", None), ("n2", None), ("n3", None)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    kept = sorted(r.image_id for r in dedup.exact_dedup(df).collect())
+    assert kept == ["i1", "n1", "n2", "n3"]
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -250,6 +260,21 @@ def test_ivf_centroids_deterministic(spark, emb_df):
     c1 = similarity.ivf_train_centroids(df, n_centroids=8)
     c2 = similarity.ivf_train_centroids(df, n_centroids=8)
     assert np.array_equal(c1, c2)
+
+
+def test_lsh_bucket_wide_planes_long_signature(spark, emb_df):
+    """n_planes >= 32 must work (the signature is int64 end to end): a
+    radius-0 probe with the query's own vector in the corpus returns it —
+    the old int32 cast wrapped corpus buckets negative, XOR grew 32
+    phantom bits, and wide-plane probes silently returned nothing. 64+
+    planes exceed the long and must fail loudly."""
+    df, vecs = emb_df
+    top = similarity.lsh_cosine_topk(df, vecs[0].tolist(), k=1,
+                                     n_planes=32, hamming_radius=0)
+    rows = top.collect()
+    assert rows and rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
+    with pytest.raises(ValueError, match="n_planes"):
+        similarity.with_lsh_bucket(df, 16, n_planes=64)
 
 
 def test_embedding_neardup_pairs_finds_planted(spark, emb_df):
@@ -334,19 +359,26 @@ def test_verify_dup_groups_pixel_level(spark):
         ("i2", imgcodec.encode_bmp(px_b), "bmp", 42),   # phash collision
         ("i3", b"garbage", "bmp", 42),                  # undecodable
         ("i4", imgcodec.encode_bmp(px_b), "bmp", 99),   # singleton group
+        # group whose CANONICAL (min id) is itself undecodable
+        ("x0", b"broken-canonical", "bmp", 77),
+        ("x1", imgcodec.encode_bmp(px_b), "bmp", 77),
     ]
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, fmt string, phash long")
     got = {r["image_id"]: r for r in
            multimodal.verify_dup_groups(df).collect()}
 
-    assert set(got) == {"i0", "i1", "i2", "i3"}   # singleton pruned
+    assert set(got) == {"i0", "i1", "i2", "i3", "x0", "x1"}  # singleton pruned
     assert got["i0"]["pixel_dup"] and got["i0"]["canonical_id"] == "i0"
     assert got["i1"]["pixel_dup"] and got["i1"]["psnr_db"] == float("inf")
     assert not got["i2"]["pixel_dup"]            # collider rejected
     assert got["i2"]["psnr_db"] < 40.0
     assert not got["i3"]["pixel_dup"]            # error-row semantics
     assert got["i3"]["psnr_db"] is None
+    # an undecodable canonical is an ERROR row, not a phantom inf-PSNR
+    # "verified" row — and its members cannot verify against it
+    assert not got["x0"]["pixel_dup"] and got["x0"]["psnr_db"] is None
+    assert not got["x1"]["pixel_dup"] and got["x1"]["psnr_db"] is None
 
 
 def test_minhash_mega_bucket_cap(spark):

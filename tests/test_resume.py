@@ -143,6 +143,24 @@ def test_crash_after_audit_repair_is_idempotent(spark, synth_images_df,
         assert r["sum(n_in)"] == group_rows
 
 
+def test_open_table_routing_matches_classpath(spark, tmp_path):
+    """have_iceberg must reflect the REAL classpath (py4j returns a
+    truthy JavaPackage for missing classes, so the old attribute probe
+    was always True and the loud no-runtime ValueError was dead code);
+    open_table routes identifiers to Iceberg-or-raise and paths to the
+    snapshot fallback."""
+    from bioanalyzer_backend_spark.sources import catalog as C
+
+    from .test_iceberg_runtime import _iceberg_jar_present
+
+    assert C.have_iceberg(spark) == _iceberg_jar_present()
+    if not C.have_iceberg(spark):
+        with pytest.raises(ValueError, match="Iceberg"):
+            C.open_table(spark, "cat.db.tbl")
+    t = C.open_table(spark, str(tmp_path / "tbl"))
+    assert isinstance(t, C.LocalSnapshotTable)
+
+
 def test_delete_where_snapshot(spark, tmp_path):
     """Row-level DELETE commits a new snapshot; time travel still sees
     the deleted rows in the prior snapshot."""

@@ -157,6 +157,30 @@ def test_stateful_dedup_matches_batch_dedup(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_stateful_dedup_null_phash_rows_never_dup(spark, tmp_path):
+    """NULL phash = undecodable image (error-row semantics): two DISTINCT
+    broken images must both flow through non-dup — grouping them into one
+    NULL state group flagged the second as a dup of the first, diverging
+    from the batch twin where NULL keys never equi-match."""
+    pdf = pd.DataFrame([("b0", 7), ("b1", None), ("b2", None), ("b3", 7)],
+                       columns=["image_id", "phash"])
+    src = tmp_path / "src"
+    spark.createDataFrame(pdf, "image_id string, phash long") \
+        .coalesce(1).write.parquet(str(src))
+    stream = (spark.readStream.schema("image_id string, phash long")
+              .parquet(str(src)))
+    results = LocalSnapshotTable(str(tmp_path / "res"))
+    q = stateful.start_stateful_dedup(stream, results, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    got = {r["image_id"]: r["is_dup"]
+           for r in results.read(spark).collect()}
+    assert got == {"b0": False, "b1": False, "b2": False, "b3": True}
+    # and it still matches the batch twin on the same input
+    want = {r["image_id"]: r["is_dup"] for r in
+            P.apply_dedup_flag(spark.read.parquet(str(src))).collect()}
+    assert got == want
+
+
 def test_stateful_dedup_with_ttl_plumbs_timeout(spark, tmp_path):
     """state_ttl_ms > 0 switches to ProcessingTimeTimeout and
     setTimeoutDuration — the query must run and flag same-batch dups
