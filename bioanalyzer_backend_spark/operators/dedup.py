@@ -39,13 +39,22 @@ def exact_dedup(df: DataFrame, key: str = "phash",
     phash is NULL, error-row semantics): those rows pass through
     untouched — grouping them would silently keep only one of n distinct
     broken rows, and apply_dedup_flag's join-based twin already leaves
-    NULL keys non-dup (NULL never equi-matches)."""
-    nn = df.where(F.col(key).isNotNull())
-    slim = (nn.select(id_col, key)
+    NULL keys non-dup (NULL never equi-matches).
+
+    One pass over *df* for the keep decision (keep iff key IS NULL or id
+    is a canonical min-id): a previous version unioned a not-null semi-
+    join branch with an is-null branch, scanning *df*'s full width twice
+    — cheap on a parquet scan, but with an expensive upstream lineage
+    (UDF pipeline) the whole input pipeline re-executed for the second
+    branch. The slim keeper-id aggregate still reads its own (id, key)
+    projection, which column-prunes at the source."""
+    slim = (df.where(F.col(key).isNotNull())
+            .select(id_col, key)
             .groupBy(key).agg(F.min(id_col).alias(id_col))
-            .select(id_col))
-    return (nn.join(slim, id_col, "left_semi")
-            .unionByName(df.where(F.col(key).isNull())))
+            .select(id_col).withColumn("_canonical", F.lit(True)))
+    return (df.join(slim, id_col, "left")
+            .where(F.col(key).isNull() | F.col("_canonical").isNotNull())
+            .drop("_canonical"))
 
 
 def _tokens_col(text_col: str):
@@ -83,7 +92,8 @@ def release_cap_caches() -> int:
 
 
 def cap_buckets(sig: DataFrame, keys: list[str],
-                max_bucket: int) -> tuple[DataFrame, DataFrame]:
+                max_bucket: int,
+                min_bucket: int = 0) -> tuple[DataFrame, DataFrame]:
     """Mega-bucket defusal for LSH-style self-joins.
 
     A degenerate bucket (empty captions, boilerplate) of size m contributes
@@ -93,6 +103,17 @@ def cap_buckets(sig: DataFrame, keys: list[str],
     buckets above a cap and REPORT them (no silent truncation): returns
     ``(filtered_sig, dropped_report)`` where the report carries one row
     per skipped bucket with its size, suitable for the audit table.
+
+    ``min_bucket=2`` additionally prunes SINGLETON buckets — valid ONLY
+    when the filtered frame feeds a self-join pair generator (a bucket
+    of one row can never produce a pair, so the prune is value-identical
+    there), NOT for posting-list/size consumers like jaccard_verify,
+    where dropping singleton postings would change the measure. On
+    heavy-tailed signature spaces most buckets are singletons (at sf0.1
+    ~59%% of wide-key simhash rows), so the prune removes the majority
+    of the self-join's shuffled volume; it rides the counts aggregate
+    the cap already computes, swapping the hot-bucket anti-join for one
+    semi-join against the in-range bucket keys.
 
     The signature frame is snapshotted with ``localCheckpoint(eager)``:
     the counts agg + anti-join probe + the caller's self-join would
@@ -109,7 +130,12 @@ def cap_buckets(sig: DataFrame, keys: list[str],
     sig = sig.localCheckpoint(eager=True)
     counts = sig.groupBy(*keys).agg(F.count("*").alias("bucket_n"))
     hot = counts.where(F.col("bucket_n") > max_bucket)
-    kept = sig.join(hot.select(*keys), keys, "left_anti")
+    if min_bucket > 1:
+        ok = counts.where((F.col("bucket_n") >= min_bucket)
+                          & (F.col("bucket_n") <= max_bucket))
+        kept = sig.join(ok.select(*keys), keys, "left_semi")
+    else:
+        kept = sig.join(hot.select(*keys), keys, "left_anti")
     return kept, hot
 
 
@@ -136,9 +162,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
     a mega-bucket cap via derived_bucket_cap over the 64-bit band-
     signature key space — a floor of 64, since a band bucket only ever
     exceeds it on degenerate boilerplate (banding itself bounds normal
-    candidate volume; the SQL twin _q_minhash_bands hardwires 32, the
-    same always-on discipline as its max_posting=32 sibling). ``None``
-    opts out explicitly; dropped buckets surface via ``return_report``.
+    candidate volume). The SQL twin _q_minhash_bands hardwires 32 — an
+    INTENTIONAL difference, not a parity bug: the registry entry
+    ``minhash_lsh_pairs`` oracles the 32-cap SQL against itself in both
+    dialects, while this operator's auto cap follows the shared
+    derived_bucket_cap(floor 64) policy of simhash_candidates; both caps
+    only bind on degenerate boilerplate buckets. ``None`` opts out
+    explicitly; dropped buckets surface via ``return_report``.
     """
     toks = df.select(F.col(id_col).alias("_id"),
                      _tokens_col(text_col).alias("toks"))
@@ -164,14 +194,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
     if max_bucket == "auto":
         # no count job: at n_rows*16 >= 64 key bits the derived term
         # 16n/2^bits is < 1 for any feasible corpus (n < 2^60), so the
-        # floor dominates — counting the input would re-execute its
-        # whole upstream plan to compute a constant
+        # floor dominates for ANY corpus size (hence n_rows=0 below —
+        # the argument is provably irrelevant) and counting the input
+        # would re-execute its whole upstream plan to compute a constant
         max_bucket = (derived_bucket_cap(0, n_rows * 16)
-                      if n_rows * 16 >= 60 else
+                      if n_rows * 16 >= 64 else
                       derived_bucket_cap(df.count(), n_rows * 16))
     hot = None
     if max_bucket is not None:
-        sig, hot = cap_buckets(sig, ["band", "sig"], max_bucket)
+        # min_bucket=2: singleton band-buckets can't produce a pair, so
+        # pruning them before the self-join is value-identical and cuts
+        # the shuffled volume (see cap_buckets)
+        sig, hot = cap_buckets(sig, ["band", "sig"], max_bucket,
+                               min_bucket=2)
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -483,7 +518,12 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
         max_bucket = derived_bucket_cap(sig.count(), key_bits)
     hot = None
     if max_bucket is not None:
-        allb, hot = cap_buckets(allb, ["block", "key"], max_bucket)
+        # min_bucket=2: on real signature spaces MOST block-buckets are
+        # singletons (~59% of wide-mode rows at sf0.1), pure shuffle
+        # waste in the self-join — a one-row bucket can't make a pair,
+        # so the prune is value-identical (round-3 verdict item 5)
+        allb, hot = cap_buckets(allb, ["block", "key"], max_bucket,
+                                min_bucket=2)
     a, b = allb.alias("a"), allb.alias("b")
     pairs = (a.join(b, (F.col("a.block") == F.col("b.block"))
                     & (F.col("a.key") == F.col("b.key"))

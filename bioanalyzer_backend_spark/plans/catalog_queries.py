@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import session as _session
 from .. import spec, sqlgen
 from ..session import register_testdata_views
 from ..sqlgen import DUCK, SPARK
@@ -232,7 +233,12 @@ def _q_minhash_bands(d: str, shingle_src: str | None = None,
     the hottest bucket is far below 32, so the cap never binds there;
     it exists for the 100x corpus. The operator twin with a
     dropped-bucket report is operators/dedup.minhash_lsh_candidates
-    (max_bucket="auto")."""
+    (max_bucket="auto"); its auto cap resolves to 64 (the shared
+    derived_bucket_cap floor), NOT this query's 32 — an intentional
+    divergence: this entry is self-consistent across both dialects at
+    32, the operator follows the one cap policy shared with
+    simhash_candidates, and neither cap binds outside degenerate
+    boilerplate buckets."""
     return f"""
 WITH {_minhash_sig_ctes(d, shingle_src=shingle_src, sig_src=sig_src)},
 hotb AS (SELECT band, mh FROM sig GROUP BY band, mh
@@ -1672,6 +1678,25 @@ MAT_SHINGLE_SRC = "SELECT * FROM shingles_v"
 # memo each one re-created and re-cached it, re-running the expensive
 # upstream pass per entry — the dominant cost of the sf0.01 sweep.
 _MAT_VIEW_FOR: dict[str, dict[str, str]] = {}
+
+
+def _invalidate_mat_views(spark: SparkSession) -> None:
+    """session.invalidate_testdata_views hook: uncache + drop every
+    derived materialized view this session holds and forget its memo —
+    a derived cached view (shingles_v/minhash_sig_v/tfidf_tf_v) that
+    outlives a base-view replacement would otherwise lazily recompute
+    from the impostor view after cache eviction (round-3 advice)."""
+    app_id = spark.sparkContext.applicationId
+    for name, memo in _MAT_VIEW_FOR.items():
+        if memo.pop(app_id, None) is not None:
+            try:
+                spark.catalog.uncacheTable(name)
+            except Exception:
+                pass   # already evicted / view dropped externally
+            spark.catalog.dropTempView(name)
+
+
+_session.on_view_invalidation(_invalidate_mat_views)
 
 
 def _materialize_view(spark: SparkSession, sf_dir: str, name: str,

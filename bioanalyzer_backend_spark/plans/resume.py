@@ -105,6 +105,71 @@ def stage_input(spark: SparkSession, images: DataFrame, stage_path: str,
     return spark.read.parquet(stage_path)
 
 
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
+def _stage_lock_path(stage_path: str) -> str:
+    """Liveness lock file for a stage dir: a DOTFILE sibling
+    (``.stage-<run_id>.lock``) so ``stage-*`` globs — the sweep's own,
+    and any operator tooling counting staged copies — see only real
+    stage dirs, never lock files."""
+    d, b = os.path.split(stage_path)
+    return os.path.join(d, f".{b}.lock")
+
+
+def _acquire_stage_lock(stage_path: str) -> int:
+    """Create + flock(LOCK_EX) the run's liveness lock file
+    (``<stage_path>.lock``), returning the held fd. The kernel releases
+    the lock on process death (no stale-lock break protocol needed —
+    same rationale as sources/catalog._commit_lock); run_with_resume
+    closes the fd in a finally so an injected in-process failure also
+    frees it. Fresh run_id => uncontended, so a non-blocking flock only
+    fails on a run_id collision, which is a caller bug worth raising."""
+    import fcntl
+    os.makedirs(os.path.dirname(stage_path), exist_ok=True)
+    fd = os.open(_stage_lock_path(stage_path),
+                 os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(fd)
+        raise RuntimeError(
+            f"stage lock for {stage_path} is held by a live run "
+            f"(duplicate run_id?)")
+    return fd
+
+
+def _sweep_dead_stages(stage_root: str, keep: str) -> None:
+    """Remove stage-* dirs whose owning run is DEAD — decided by probing
+    each dir's sibling liveness lock with a non-blocking flock: a live
+    owner holds its lock (probe fails -> skip), a dead owner's lock was
+    kernel-released (probe succeeds -> safe to delete). Dirs with no
+    lock file at all (pre-liveness-lock layouts) count as dead. ``keep``
+    is this run's own stage path, always skipped."""
+    import fcntl
+    for stale in glob.glob(os.path.join(stage_root, "stage-*")):
+        if stale == keep or not os.path.isdir(stale):
+            continue
+        lock_path = _stage_lock_path(stale)
+        fd = None
+        try:
+            if os.path.exists(lock_path):
+                fd = os.open(lock_path, os.O_RDWR)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            # lock acquired (or never existed): owner is dead
+            shutil.rmtree(stale, ignore_errors=True)
+            _unlink_quiet(lock_path)
+        except OSError:
+            continue   # lock held -> live sibling, leave it alone
+        finally:
+            if fd is not None:
+                os.close(fd)
+
+
 def run_with_resume(spark: SparkSession, images: DataFrame,
                     results: LocalSnapshotTable, audit: LocalSnapshotTable,
                     ckpt: LocalSnapshotTable, n_groups: int = 8,
@@ -123,11 +188,14 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
     kill/restart scenarios of SURVEY.md section 5.5).
 
     ``sweep_stale_stages`` (default on) removes crashed runs' stage-*
-    dirs under the stage root before staging anew; it assumes this run
-    OWNS the stage root exclusively — the default root (the results
-    table's directory) gives that for free, but callers pointing several
-    CONCURRENT runs at one shared ``stage_dir`` must pass False or the
-    sweep deletes a live sibling's staged input.
+    dirs under the stage root before staging anew. Live siblings are
+    protected by a per-run flock liveness lock (``stage-<run_id>.lock``
+    beside the stage dir, held for the run's duration, kernel-released
+    on process death — the sources/catalog.py _commit_lock pattern): the
+    sweep only removes a stage dir whose lock it can acquire, so several
+    CONCURRENT runs may share one ``stage_dir`` safely. The lock file
+    sits BESIDE the dir (not inside) because Spark's overwrite write
+    recreates the stage dir, which would drop an in-dir lock file.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     repaired = reconcile(spark, results, audit, ckpt, run_id)
@@ -135,58 +203,70 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
     todo = [g for g in range(n_groups) if g not in done]
     n_committed = 0
     stage_path = None
-    if todo:
-        stage_root = stage_dir or getattr(results, "root", None)
-        if stage_root is None:
-            raise ValueError(
-                "stage_dir is required when the results table has no "
-                "local root (e.g. IcebergTable)")
-        # Best-effort sweep of stale stage-* dirs before staging anew:
-        # crash paths deliberately skip their own cleanup (a killed JVM
-        # cannot), and a resumed run stages under its OWN run_id — so a
-        # crashed run's staged copy (a full input copy, image bytes
-        # included) would otherwise accumulate per crash/resume cycle
-        # (round-2 advice, resume.py:168). A stage dir is only ever read
-        # by the run that created it — but the sweep cannot tell a STALE
-        # sibling from a LIVE one, hence the exclusive-stage-root
-        # contract / opt-out documented above.
-        if sweep_stale_stages:
-            for stale in glob.glob(os.path.join(stage_root, "stage-*")):
-                shutil.rmtree(stale, ignore_errors=True)
-        stage_path = os.path.join(stage_root, f"stage-{run_id}")
-        staged = stage_input(spark, images, stage_path, n_groups)
-    for g in todo:
-        t0 = time.time()
-        sub = staged.where(F.col("part_id") == g).drop("part_id")
-        # one materialization feeds all three consumers (results sink,
-        # audit aggregation, row count) — uncached, the UDF-gated
-        # pipeline would execute three times per group
-        out = pipe.quality_filter(sub).withColumn("part_id", F.lit(g))
-        out = out.persist()
-        try:
-            results.append(out)
-            if fail_between_commits and n_committed + 1 >= (fail_after or 1):
+    stage_lock_fd = None
+    try:
+        if todo:
+            stage_root = stage_dir or getattr(results, "root", None)
+            if stage_root is None:
+                raise ValueError(
+                    "stage_dir is required when the results table has no "
+                    "local root (e.g. IcebergTable)")
+            stage_path = os.path.join(stage_root, f"stage-{run_id}")
+            # Own liveness lock FIRST (before the sweep, before the dir
+            # exists) so a concurrent sweeper already sees this run live.
+            stage_lock_fd = _acquire_stage_lock(stage_path)
+            # Sweep stale stage-* dirs before staging anew: crash paths
+            # deliberately skip their own cleanup (a killed JVM cannot),
+            # and a resumed run stages under its OWN run_id — so a
+            # crashed run's staged copy (a full input copy, image bytes
+            # included) would otherwise accumulate per crash/resume
+            # cycle (round-2 advice, resume.py:168). Dead-vs-live is
+            # decided by the flock probe, not by naming or age.
+            if sweep_stale_stages:
+                _sweep_dead_stages(stage_root, keep=stage_path)
+            staged = stage_input(spark, images, stage_path, n_groups)
+        for g in todo:
+            t0 = time.time()
+            sub = staged.where(F.col("part_id") == g).drop("part_id")
+            # one materialization feeds all three consumers (results
+            # sink, audit aggregation, row count) — uncached, the
+            # UDF-gated pipeline would execute three times per group
+            out = pipe.quality_filter(sub).withColumn("part_id", F.lit(g))
+            out = out.persist()
+            try:
+                results.append(out)
+                if fail_between_commits \
+                        and n_committed + 1 >= (fail_after or 1):
+                    raise RuntimeError(
+                        f"injected failure between commits of group {g}")
+                wall_ms = (time.time() - t0) * 1000.0
+                audit.append(audit_rows(out, run_id, wall_ms, group_id=g))
+                if fail_after_audit and n_committed + 1 >= (fail_after or 1):
+                    raise RuntimeError(
+                        f"injected failure after audit of group {g}")
+                n_rows = out.count()          # cached — no recomputation
+                ckpt.append(spark.createDataFrame(
+                    [(g, run_id, n_rows, float(time.time()))],
+                    "part_id int, run_id string, n_rows long, "
+                    "committed_at double"))
+            finally:
+                out.unpersist()
+            n_committed += 1
+            if fail_after is not None and not fail_between_commits \
+                    and not fail_after_audit and n_committed >= fail_after:
                 raise RuntimeError(
-                    f"injected failure between commits of group {g}")
-            wall_ms = (time.time() - t0) * 1000.0
-            audit.append(audit_rows(out, run_id, wall_ms, group_id=g))
-            if fail_after_audit and n_committed + 1 >= (fail_after or 1):
-                raise RuntimeError(
-                    f"injected failure after audit of group {g}")
-            n_rows = out.count()          # cached — no recomputation
-            ckpt.append(spark.createDataFrame(
-                [(g, run_id, n_rows, float(time.time()))],
-                "part_id int, run_id string, n_rows long, committed_at double"))
-        finally:
-            out.unpersist()
-        n_committed += 1
-        if fail_after is not None and not fail_between_commits \
-                and not fail_after_audit and n_committed >= fail_after:
-            raise RuntimeError(f"injected failure after {n_committed} groups")
-    if stage_path is not None:
-        # crash paths skip this on purpose: a resumed run re-stages under
-        # its own run_id (deterministic group_of => identical content)
-        shutil.rmtree(stage_path, ignore_errors=True)
+                    f"injected failure after {n_committed} groups")
+        if stage_path is not None:
+            # crash paths skip this on purpose: a resumed run re-stages
+            # under its own run_id (deterministic group_of => identical
+            # content); the liveness lock file goes with the dir
+            shutil.rmtree(stage_path, ignore_errors=True)
+            _unlink_quiet(_stage_lock_path(stage_path))
+    finally:
+        if stage_lock_fd is not None:
+            os.close(stage_lock_fd)   # releases the flock; crash paths
+            # leave the DIR behind on purpose but must free the lock so
+            # the next run's sweep sees the owner dead
     return {"run_id": run_id, "groups_done": len(done) + n_committed,
             "groups_total": n_groups, "newly_committed": n_committed,
             "repaired_groups": repaired}

@@ -66,14 +66,34 @@ def build_session(app_name: str = "bioanalyzer-spark",
 # session and re-done only when the sf_dir actually changes.
 _VIEWS_FOR: dict[str, str] = {}
 
+# Invalidation hooks: modules that memoize DERIVED state on top of the
+# testdata views (catalog_queries' cached shingles_v/minhash_sig_v/
+# tfidf_tf_v temp views) register a callback here so one
+# invalidate_testdata_views call flushes the whole derivation chain —
+# otherwise a derived cached view surviving a base-view replacement
+# would lazily recompute from the impostor view (round-3 advice,
+# catalog_queries.py:1689). Registered via a hook, not a direct import,
+# because catalog_queries imports this module.
+_INVALIDATION_HOOKS: list = []
+
+
+def on_view_invalidation(fn) -> None:
+    """Register ``fn(spark)`` to run whenever the testdata views are
+    invalidated. Idempotent per function object."""
+    if fn not in _INVALIDATION_HOOKS:
+        _INVALIDATION_HOOKS.append(fn)
+
 
 def invalidate_testdata_views(spark: SparkSession) -> None:
-    """Forget the memoized registration for this session. Call after
+    """Forget the memoized registration for this session — AND every
+    registered derived-state memo (see on_view_invalidation). Call after
     REPLACING one of the testdata view names with something else (the
     streaming tests point ``documents`` at a stream view) — the memo
     cannot detect that, and a later register call would silently keep
     the impostor."""
     _VIEWS_FOR.pop(spark.sparkContext.applicationId, None)
+    for fn in _INVALIDATION_HOOKS:
+        fn(spark)
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:

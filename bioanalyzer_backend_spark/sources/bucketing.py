@@ -43,11 +43,16 @@ def plan_has_exchange(df: DataFrame) -> bool:
     version stripped only '+-* ', so the left side of a sort-merge join
     (':  +- Exchange hashpartitioning') was invisible and a shuffle
     regression on a bucketed join passed the no-Exchange assertion
-    silently."""
+    silently. A ReusedExchange that reuses a BroadcastExchange prints
+    the reused child type on the same line ('ReusedExchange [...],
+    BroadcastExchange ...') and is excluded like a direct broadcast —
+    reusing a broadcast is the desired plan, not a shuffle."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         op = line.lstrip(" :+-*()0123456789")
-        if op.startswith("Exchange") or op.startswith("ReusedExchange"):
+        if op.startswith("Exchange"):
+            return True
+        if op.startswith("ReusedExchange") and "BroadcastExchange" not in op:
             return True
     return False
 
