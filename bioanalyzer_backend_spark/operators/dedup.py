@@ -110,7 +110,7 @@ def cap_buckets(sig: DataFrame, keys: list[str],
     there), NOT for posting-list/size consumers like jaccard_verify,
     where dropping singleton postings would change the measure. On
     heavy-tailed signature spaces most buckets are singletons (at sf0.1
-    ~59%% of wide-key simhash rows), so the prune removes the majority
+    52% of wide-key simhash rows — measured), so the prune removes the majority
     of the self-join's shuffled volume; it rides the counts aggregate
     the cap already computes, swapping the hot-bucket anti-join for one
     semi-join against the in-range bucket keys.
@@ -519,7 +519,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "caption",
     hot = None
     if max_bucket is not None:
         # min_bucket=2: on real signature spaces MOST block-buckets are
-        # singletons (~59% of wide-mode rows at sf0.1), pure shuffle
+        # singletons (52% of wide-mode rows at sf0.1, measured), pure shuffle
         # waste in the self-join — a one-row bucket can't make a pair,
         # so the prune is value-identical (round-3 verdict item 5)
         allb, hot = cap_buckets(allb, ["block", "key"], max_bucket,

@@ -1241,6 +1241,59 @@ def _q_error_rows(d: str) -> str:
             "WHERE event_type = 'error'")
 
 
+def _q_cache_search(d: str) -> str:
+    """Cache search across stores (cache_manager.py:395-426
+    search_cache): ONE LIKE-'%q%' substring query probes all three
+    cache stores — the analysis store's two-column OR
+    (cache_manager.py:403-409), the metadata store (:410-415) and the
+    fulltext store (:418-426's union branch) — with results newest
+    first (ORDER BY timestamp DESC, :409/:415). Store mapping onto the
+    testdata tables: analysis = events (props + event_type payloads,
+    real ingest ts), metadata / fulltext = documents (the lang/source
+    metadata string and the text body; the cache-insert timestamp
+    analogue is a deterministic per-doc epoch interleaved with the
+    events range). Timestamps compare as epoch-microsecond BIGINTs
+    (sqlgen.epoch_us) and the sort is a TOTAL order (ts DESC, store,
+    id), so the LIMIT cut is bit-reproducible in both dialects. Scale:
+    three pushdown-scanned branches, one union, one top-k sort —
+    TakeOrderedAndProject, no full sort at 10^12 rows."""
+    ev_ts = sqlgen.epoch_us("ts", d)
+    # documents "cached at" analogue: 2024-01-01 UTC + doc_id evenly
+    # spread over the SAME 30-day window the events table covers (the
+    # testdata event window is fixed at 30 days for every sf), so the
+    # merged newest-first top-k interleaves all three stores at any
+    # scale factor instead of one store's range dominating the LIMIT
+    # window. The per-doc stride is a scalar subquery (one broadcast
+    # value at any corpus size); FLOOR+CAST keeps the integer division
+    # identical in both dialects (DuckDB / is float division).
+    doc_stride = ("(SELECT CAST(FLOOR(2592000000000 / "
+                  "CAST(MAX(doc_id) + 1 AS DOUBLE)) AS BIGINT) "
+                  "FROM documents)")
+    doc_ts = f"1704067200000000 + doc_id * {doc_stride}"
+    return f"""
+WITH hits AS (
+  SELECT 'analysis' AS store, CAST(event_id AS BIGINT) AS hit_id,
+         {ev_ts} AS ts_us
+  FROM events
+  WHERE props LIKE '%e%' OR event_type LIKE '%e%'
+  UNION ALL
+  SELECT 'metadata' AS store, CAST(doc_id AS BIGINT) AS hit_id,
+         CAST({doc_ts} AS BIGINT) AS ts_us
+  FROM documents
+  WHERE (lang || '/' || source) LIKE '%e%'
+  UNION ALL
+  SELECT 'fulltext' AS store, CAST(doc_id AS BIGINT) AS hit_id,
+         CAST({doc_ts} AS BIGINT) AS ts_us
+  FROM documents
+  WHERE text LIKE '%e%'
+)
+SELECT store, hit_id, ts_us
+FROM hits
+ORDER BY ts_us DESC, store, hit_id
+LIMIT 200
+"""
+
+
 _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "qf_core_documents": _q_core,
     "qf_scrub_documents": _q_scrub,
@@ -1290,6 +1343,13 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "finding_confidence_documents": sqlgen.finding_confidence_sql,
     "id_valid_documents": sqlgen.id_valid_sql,
     "found_terms_documents": sqlgen.found_terms_sql,
+    # Round-4 micro-fidelity ports: per-field fallback record
+    # (api_utils.py:32-73 literals), allowed-domain normalization
+    # (utils.py:87-117 enumerations), cache search across stores
+    # (cache_manager.py:395-426).
+    "field_fallback_documents": sqlgen.field_fallback_sql,
+    "domain_normalize_documents": sqlgen.domain_normalize_sql,
+    "cache_search_events": _q_cache_search,
     # Training-split / sampling primitives (deterministic hash-based).
     "stratified_sample_documents": _q_stratified_sample,
     "split_assign_documents": _q_split_assign,
@@ -1772,19 +1832,57 @@ def _mk_spark_fn_mat_tf(builder: Callable[..., str]):
 
 
 # Sweep priority: the driver's correctness sweep walks the registry in
-# insertion order and has truncated before the end once (r2 recorded only
-# the first 50 of 72 entries), so the LEAST-PROVEN entries must run first.
-# Order: entries new this round, then entries the r2 driver sweep never
-# reached (judge-verified only), then the long-green r2 set. Names absent
-# from this list keep their builder-dict insertion order at the end.
+# insertion order and truncates at 50 entries, so the LEAST-PROVEN
+# entries must run first and the list ROTATES each round (round-3
+# verdict item 1): entries new this round, then entries whose newest
+# driver record is two rounds old (they fell below the r3 cut), then
+# entries whose CODE changed this round (re-proving value-identity of
+# plan changes), then the freshly-r3-recorded set. Names absent from
+# this list keep their builder-dict insertion order at the end.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- new in round 3 ---
+    # --- new in round 4 ---
+    "field_fallback_documents",
+    "domain_normalize_documents",
+    "cache_search_events",
+    # --- last driver record is r2 (missed the 50-entry r3 cut) ---
+    "lineitem_rollup",
+    "join_orders_nation",
+    "shipping_priority_top10",
+    "local_supplier_volume",
+    "antijoin_resume",
+    "topk_orders",
+    "window_top3_per_cust",
+    "union_distinct_keys",
+    "slice_first3_tokens",
+    "coalesce_priority",
+    "extract_props_k",
+    "pattern_extract_all",
+    "nonempty_filter",
+    "cosine_top10",
+    "groupmin_lineitem",
+    "error_rows_events",
+    "field_confidence_documents",
+    "methods_coverage_documents",
+    "condition_extract_documents",
+    "factor_score_documents",
+    "finding_confidence_documents",
+    "id_valid_documents",
+    "found_terms_documents",
+    "stratified_sample_documents",
+    "split_assign_documents",
+    "pack_sequences_documents",
+    "mixture_sample_documents",
+    # --- code changed in round 4 (singleton-bucket prune; exact_dedup
+    # single-scan rewrite) — value-identical by design, re-proven here ---
+    "simhash_pairs_wide_documents",
+    "simhash_pairs_documents",
+    "minhash_lsh_pairs",
+    "dedup_exact_documents",
+    # --- r3-recorded, rotated below the stale set ---
     "audio_stats_multimodal",
     "video_frames_multimodal",
-    "simhash_pairs_wide_documents",
     "gopher_repetition_documents",
     "tfidf_top_terms_documents",
-    # --- r2 entries the truncated driver sweep never recorded ---
     "decontaminate_documents",
     "report_parse_documents",
     "pivot_keep_by_lang",
@@ -1794,7 +1892,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "hypertable_rollup_events",
     "keep_by_lang_salted",
     "simhash64_documents",
-    "simhash_pairs_documents",
     "knn_join_top3",
     "dup_components_embeddings",
     "dedup_transitive_documents",

@@ -272,6 +272,64 @@ def found_terms(texts: pd.Series) -> pd.DataFrame:
     return out
 
 
+_FALLBACK_MARKERS = {f: [re.compile(p) for p in pats]
+                     for f, pats in spec.FALLBACK_FIELD_MARKERS.items()}
+
+
+def field_fallback(texts: pd.Series) -> pd.DataFrame:
+    """Twin of sqlgen.field_fallback_sql (api_utils.py:32-73 default
+    field structures; bugsigdb_analyzer.py:147-152 empty-reason rule):
+    per field, PRESENT + empty strings when any marker matches, else
+    ABSENT + the reference's byte-exact reason/suggestion literals."""
+    rows = []
+    for raw in texts.astype(object):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        row = {}
+        for f, pats in _FALLBACK_MARKERS.items():
+            found = any(p.search(t) for p in pats)
+            reason, suggest = spec.FALLBACK_FIELDS[f]
+            row[f"status_{f}"] = (spec.STATUS_PRESENT if found
+                                  else spec.STATUS_ABSENT)
+            row[f"reason_{f}"] = "" if found else reason
+            row[f"suggest_{f}"] = "" if found else suggest
+        rows.append(row)
+    return pd.DataFrame(rows, index=texts.index)
+
+
+def _first_marker(t: str,
+                  chain: tuple[tuple[str, str | None], ...]) -> str | None:
+    for w, _canon in chain:
+        if re.search(r"\b" + w + r"\b", t):
+            return w
+    return None
+
+
+def _normalize(raw: str | None,
+               chain: tuple[tuple[str, str | None], ...]) -> str | None:
+    """utils.py:87-117 allowed-domain normalization: mapped synonym ->
+    canonical value, extracted-but-unmapped -> 'Other', no raw -> None."""
+    if raw is None:
+        return None
+    for w, canon in chain:
+        if raw == w and canon is not None:
+            return canon
+    return "Other"
+
+
+def domain_normalize(texts: pd.Series) -> pd.DataFrame:
+    """Twin of sqlgen.domain_normalize_sql."""
+    rows = []
+    for raw in texts.astype(object):
+        t = sql_trim(raw if isinstance(raw, str) else "").lower()
+        rs = _first_marker(t, spec.SEQ_TYPE_CHAIN)
+        rb = _first_marker(t, spec.BODY_SITE_CHAIN)
+        rows.append({"raw_seq": rs,
+                     "seq_type": _normalize(rs, spec.SEQ_TYPE_CHAIN),
+                     "raw_site": rb,
+                     "body_site": _normalize(rb, spec.BODY_SITE_CHAIN)})
+    return pd.DataFrame(rows, index=texts.index)
+
+
 def expected_labels(images: pd.DataFrame) -> pd.DataFrame:
     """FIXTURES.md section 2 golden table for an images DataFrame.
 

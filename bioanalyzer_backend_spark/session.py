@@ -37,6 +37,12 @@ def build_session(app_name: str = "bioanalyzer-spark",
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # Pin the session timezone: the testdata parquet timestamps are
+         # TIMESTAMP_NTZ, and any NTZ->LTZ cast (e.g. sqlgen.epoch_us)
+         # interprets the wall-clock in SESSION time — an inherited
+         # machine tz would silently shift epoch arithmetic vs the
+         # DuckDB oracle (which is tz-naive throughout).
+         .config("spark.sql.session.timeZone", "UTC")
          # image rows carry ~10-100 KB binary payloads: cap Arrow batches
          # so a batch stays well under executor-python memory
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

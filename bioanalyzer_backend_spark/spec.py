@@ -271,6 +271,95 @@ R11_UNCLEAR_QUALITY_MAX = 0.2
 R11_NOTREADY_SHORT_MAX = 1  # n_present <= 1 -> bare "NOT READY" line
 
 # --------------------------------------------------------------------------
+# Per-field fallback record (api_utils.py:32-73
+# create_default_field_structure). For each of the reference's six
+# extraction fields, a MISSING field carries its default structure's
+# ``reason_if_missing`` and ``suggestions`` strings — ported BYTE-EXACT
+# below; a non-missing field carries empty strings
+# (bugsigdb_analyzer.py:147-152: reason = "" unless status is ABSENT).
+# The per-field presence predicate maps the reference's LLM extraction
+# onto the synthetic corpus vocabulary (the same move as FIELD_PATTERNS
+# and METHODS_CRITERIA): word-boundary regexes / phrase patterns, field
+# found iff any marker matches. sample_size keeps the reference's real
+# semantics (a number in the text) — the synthetic corpus is digit-free,
+# so that field exercises the always-ABSENT arm.
+# --------------------------------------------------------------------------
+
+FALLBACK_FIELDS: dict[str, tuple[str, str]] = {
+    # field -> (reason_if_missing, suggestions), api_utils.py:32-73 verbatim
+    "host_species": (
+        "No host species information found in the paper",
+        "Look for mentions of human, mouse, rat, or other study organisms"),
+    "body_site": (
+        "No body site information found in the paper",
+        "Look for mentions of gut, oral, skin, or other sampling sites"),
+    "condition": (
+        "No condition information found in the paper",
+        "Look for disease names, treatments, or exposure conditions"),
+    "sequencing_type": (
+        "No sequencing type information found in the paper",
+        "Look for mentions of 16S, metagenomics, or other sequencing methods"),
+    "taxa_level": (
+        "No taxonomic level information found in the paper",
+        "Look for mentions of phylum, genus, species, or other taxonomic "
+        "levels"),
+    "sample_size": (
+        "No sample size information found in the paper",
+        "Look for numbers of samples, participants, or study groups"),
+}
+
+FALLBACK_FIELD_MARKERS: dict[str, tuple[str, ...]] = {
+    "host_species": (r"\bcustomer\b", r"\bspark\b"),
+    "body_site": (r"\brow\b", r"\bcolumn\b", r"\btable\b"),
+    "condition": CONDITION_PATTERNS,     # the R6 phrase chain, reused
+    "sequencing_type": (r"\bscan\b", r"\bstream\b", r"\bmerge\b"),
+    "taxa_level": (r"\bgroup\b", r"\border\b", r"\bline\b"),
+    "sample_size": (r"\b[0-9]+\b",),
+}
+
+# --------------------------------------------------------------------------
+# Allowed-value domain normalization (app/utils/utils.py:87-117
+# get_sequencing_types / get_body_sites). The enumerations are ported
+# BYTE-EXACT; extracted raw values normalize into them via an ordered
+# first-match marker chain (R6 style) + synonym map, with the
+# reference's "Other" catch-all for any extracted-but-unmapped value and
+# NULL when nothing was extracted at all (api_utils.py: value None for
+# ABSENT fields). Marker words are the synthetic corpus vocabulary.
+# --------------------------------------------------------------------------
+
+SEQUENCING_TYPES: tuple[str, ...] = (
+    "16S rRNA", "Shotgun metagenomics", "Metatranscriptomics", "ITS",
+    "Other amplicon", "Culture-based", "Other",
+)
+BODY_SITES: tuple[str, ...] = (
+    "Gut", "Oral", "Skin", "Respiratory tract", "Urogenital", "Blood",
+    "Other",
+)
+
+# (marker word, canonical value | None) — None normalizes to "Other".
+# Ordered: FIRST matching marker wins (fallback_extractor.py:115-133
+# first-match discipline); unmapped markers sit early so the "Other"
+# arm is actually exercised on the synthetic corpus.
+SEQ_TYPE_CHAIN: tuple[tuple[str, str | None], ...] = (
+    ("scan", "16S rRNA"),
+    ("hash", None),
+    ("stream", "Metatranscriptomics"),
+    ("merge", "Shotgun metagenomics"),
+    ("filter", "ITS"),
+    ("batch", "Other amplicon"),
+    ("vector", "Culture-based"),
+)
+BODY_SITE_CHAIN: tuple[tuple[str, str | None], ...] = (
+    ("row", "Gut"),
+    ("join", None),
+    ("column", "Oral"),
+    ("table", "Skin"),
+    ("window", "Respiratory tract"),
+    ("group", "Urogenital"),
+    ("sort", "Blood"),
+)
+
+# --------------------------------------------------------------------------
 # Full-pipeline (non-SQL) thresholds: langid + perplexity gates.
 # --------------------------------------------------------------------------
 

@@ -149,6 +149,18 @@ def explode_col(e: str, alias: str, d: str) -> str:
             else f"unnest({e}) AS {alias}")
 
 
+def epoch_us(e: str, d: str) -> str:
+    """TIMESTAMP expression -> epoch microseconds (BIGINT). Spark needs
+    an NTZ->LTZ cast first (parquet testdata timestamps load as
+    TIMESTAMP_NTZ; the session tz is pinned UTC in session.build_session
+    so the cast is wall-clock-preserving); DuckDB's epoch_us is direct.
+    Comparing epoch integers instead of timestamp objects keeps the
+    driver's value-hash free of timezone-rendering semantics."""
+    if d == SPARK:
+        return f"unix_micros(CAST({e} AS TIMESTAMP))"
+    return f"epoch_us({e})"
+
+
 def md5_hash32(e: str, d: str, start: int = 1) -> str:
     """Deterministic 32-bit hash of a string expr: 8 hex chars of its md5
     digest (at 1-based offset ``start``) as a BIGINT (dialect-portable
@@ -578,6 +590,107 @@ f AS (
 SELECT row_id, {outs},
        CAST({sizes} AS INT) AS n_found
 FROM f
+"""
+
+
+def field_fallback_sql(d: str, table: str = "documents",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Per-field fallback record (api_utils.py:32-73
+    create_default_field_structure; bugsigdb_analyzer.py:147-152).
+
+    One row per document, three columns per extraction field:
+    ``status_<f>`` (PRESENT / ABSENT), ``reason_<f>`` and
+    ``suggest_<f>`` — empty strings when the field was found
+    (bugsigdb_analyzer.py:151-152: reason is "" unless ABSENT), the
+    reference's default-structure literals BYTE-EXACT when missing.
+    Presence = any spec.FALLBACK_FIELD_MARKERS regex matches the
+    lowered text (the deterministic analogue of the reference's
+    per-field LLM extraction; see spec.py). Pure per-row codegen —
+    no shuffle, embarrassingly parallel at any corpus size."""
+    found_cols, out_cols = [], []
+    for f, pats in spec.FALLBACK_FIELD_MARKERS.items():
+        any_hit = " OR ".join(rx_matches("t", p, d) for p in pats)
+        found_cols.append(f"({any_hit}) AS found_{f}")
+        reason, suggest = spec.FALLBACK_FIELDS[f]
+        out_cols.append(
+            f"CASE WHEN found_{f} THEN {slit(spec.STATUS_PRESENT)} "
+            f"ELSE {slit(spec.STATUS_ABSENT)} END AS status_{f}")
+        out_cols.append(f"CASE WHEN found_{f} THEN '' "
+                        f"ELSE {slit(reason)} END AS reason_{f}")
+        out_cols.append(f"CASE WHEN found_{f} THEN '' "
+                        f"ELSE {slit(suggest)} END AS suggest_{f}")
+    founds = ",\n         ".join(found_cols)
+    outs = ",\n       ".join(out_cols)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+),
+f AS (
+  SELECT row_id,
+         {founds}
+  FROM base
+)
+SELECT row_id,
+       {outs}
+FROM f
+"""
+
+
+def _first_match_chain(chain: tuple[tuple[str, str | None], ...],
+                       d: str) -> str:
+    """Ordered first-match raw-marker extraction (R6 discipline): the
+    first chain marker present as a whole word in ``t`` wins."""
+    arms = []
+    for w, _canon in chain:
+        pred = rx_matches("t", r"\b" + w + r"\b", d)
+        arms.append(f"CASE WHEN {pred} THEN {slit(w)} END")
+    return f"COALESCE({', '.join(arms)})"
+
+
+def _normalize_case(raw: str,
+                    chain: tuple[tuple[str, str | None], ...]) -> str:
+    """Raw marker -> canonical enumeration value: mapped synonyms pass
+    through, any extracted-but-unmapped value becomes 'Other', nothing
+    extracted stays NULL (utils.py:87-117 allowed lists + the
+    reference's value-None-when-ABSENT discipline)."""
+    whens = " ".join(f"WHEN {raw} = {slit(w)} THEN {slit(canon)}"
+                     for w, canon in chain if canon is not None)
+    return (f"CASE WHEN {raw} IS NULL THEN NULL {whens} "
+            f"ELSE 'Other' END")
+
+
+def domain_normalize_sql(d: str, table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Allowed-value domain normalization (app/utils/utils.py:87-117
+    get_sequencing_types / get_body_sites enumerations, ported
+    byte-exact into spec.SEQUENCING_TYPES / spec.BODY_SITES).
+
+    Extracts a raw sequencing-type / body-site marker per document
+    (ordered first-match chain, fallback_extractor.py:115-133 style)
+    and normalizes it into the reference enumeration: synonym-mapped
+    values pass through, unmapped raw values collapse to 'Other', and
+    documents with no marker at all keep NULL. Per-row codegen, no
+    shuffle. A unit test pins every output value into the
+    enumerations."""
+    raw_seq = _first_match_chain(spec.SEQ_TYPE_CHAIN, d)
+    raw_site = _first_match_chain(spec.BODY_SITE_CHAIN, d)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+),
+r AS (
+  SELECT row_id,
+         {raw_seq} AS raw_seq,
+         {raw_site} AS raw_site
+  FROM base
+)
+SELECT row_id, raw_seq,
+       {_normalize_case('raw_seq', spec.SEQ_TYPE_CHAIN)} AS seq_type,
+       raw_site,
+       {_normalize_case('raw_site', spec.BODY_SITE_CHAIN)} AS body_site
+FROM r
 """
 
 

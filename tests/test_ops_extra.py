@@ -760,3 +760,23 @@ def test_dup_components_raises_when_unconverged(spark):
     got = {r.id: r.component
            for r in dedup.dup_components(pairs, max_iters=20).collect()}
     assert set(got.values()) == {0}              # one path component
+
+
+# --------------------------------------------------------------------------
+# Cache search (cache_manager.py:395-426 analogue)
+# --------------------------------------------------------------------------
+
+def test_cache_search_newest_first_and_all_stores(spark):
+    """The merged search-hit list is newest-first, bounded by its LIMIT,
+    totally ordered (deterministic cut), and actually surfaces hits from
+    all three cache stores — one store's ts range crowding out the
+    others would make the union branch dead weight."""
+    from bioanalyzer_backend_spark.plans.catalog_queries import registry
+    from .conftest import SF01
+    fn, _sql = registry()["cache_search_events"]
+    rows = fn(spark, SF01).collect()
+    assert len(rows) == 200
+    keys = [(-r["ts_us"], r["store"], r["hit_id"]) for r in rows]
+    assert keys == sorted(keys)                  # total order, ts DESC
+    assert {r["store"] for r in rows} == {"analysis", "metadata",
+                                          "fulltext"}

