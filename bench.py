@@ -109,7 +109,10 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              # round-3 additions
              "simhash_pairs_wide_documents", "audio_stats_multimodal",
              "video_frames_multimodal", "gopher_repetition_documents",
-             "tfidf_top_terms_documents")
+             "tfidf_top_terms_documents",
+             # round-4 additions
+             "field_fallback_documents", "domain_normalize_documents",
+             "cache_search_events")
     reg = registry()
     times = {}
     for name in heads:

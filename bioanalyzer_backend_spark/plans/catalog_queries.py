@@ -1256,7 +1256,10 @@ def _q_cache_search(d: str) -> str:
     (sqlgen.epoch_us) and the sort is a TOTAL order (ts DESC, store,
     id), so the LIMIT cut is bit-reproducible in both dialects. Scale:
     three pushdown-scanned branches, one union, one top-k sort —
-    TakeOrderedAndProject, no full sort at 10^12 rows."""
+    TakeOrderedAndProject, no full sort at 10^12 rows. The stride
+    scalar subquery executes once per documents branch (Spark does not
+    reuse it across branches): two extra doc_id-only column-pruned agg
+    scans, small next to each branch's own LIKE scan of the text."""
     ev_ts = sqlgen.epoch_us("ts", d)
     # documents "cached at" analogue: 2024-01-01 UTC + doc_id evenly
     # spread over the SAME 30-day window the events table covers (the
