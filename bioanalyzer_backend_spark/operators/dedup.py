@@ -48,6 +48,9 @@ def exact_dedup(df: DataFrame, key: str = "phash",
     (UDF pipeline) the whole input pipeline re-executed for the second
     branch. The slim keeper-id aggregate still reads its own (id, key)
     projection, which column-prunes at the source."""
+    if "_canonical" in df.columns:
+        raise ValueError("exact_dedup reserves the column name "
+                         "'_canonical'; rename it on the input")
     slim = (df.where(F.col(key).isNotNull())
             .select(id_col, key)
             .groupBy(key).agg(F.min(id_col).alias(id_col))
