@@ -51,10 +51,16 @@ def exact_dedup(df: DataFrame, key: str = "phash",
     if "_canonical" in df.columns:
         raise ValueError("exact_dedup reserves the column name "
                          "'_canonical'; rename it on the input")
+    # .distinct() guards the left join against fan-out when the INPUT
+    # carries duplicate ids (two keys sharing a min id): the old
+    # semi-join was immune to slim-side duplicates, the marker join is
+    # not. Near-free: the join repartitions slim by id anyway, so the
+    # distinct is one extra hash-agg over already-exchanged slim rows.
     slim = (df.where(F.col(key).isNotNull())
             .select(id_col, key)
             .groupBy(key).agg(F.min(id_col).alias(id_col))
-            .select(id_col).withColumn("_canonical", F.lit(True)))
+            .select(id_col).distinct()
+            .withColumn("_canonical", F.lit(True)))
     return (df.join(slim, id_col, "left")
             .where(F.col(key).isNull() | F.col("_canonical").isNotNull())
             .drop("_canonical"))
@@ -116,7 +122,11 @@ def cap_buckets(sig: DataFrame, keys: list[str],
     52% of wide-key simhash rows — measured), so the prune removes the majority
     of the self-join's shuffled volume; it rides the counts aggregate
     the cap already computes, swapping the hot-bucket anti-join for one
-    semi-join against the in-range bucket keys.
+    semi-join against the in-range bucket keys. NULL-key rows flip with
+    the mode: the anti-join KEEPS them (NULL never equi-matches the hot
+    set), the semi-join DROPS them — irrelevant for pair generation
+    (a NULL key can't equi-join into a pair either way), but a consumer
+    that must retain NULL-key rows must use min_bucket=0.
 
     The signature frame is snapshotted with ``localCheckpoint(eager)``:
     the counts agg + anti-join probe + the caller's self-join would

@@ -105,13 +105,6 @@ def stage_input(spark: SparkSession, images: DataFrame, stage_path: str,
     return spark.read.parquet(stage_path)
 
 
-def _unlink_quiet(path: str) -> None:
-    try:
-        os.unlink(path)
-    except OSError:
-        pass
-
-
 def _stage_lock_path(stage_path: str) -> str:
     """Liveness lock file for a stage dir: a DOTFILE sibling
     (``.stage-<run_id>.lock``) so ``stage-*`` globs — the sweep's own,
@@ -121,35 +114,53 @@ def _stage_lock_path(stage_path: str) -> str:
     return os.path.join(d, f".{b}.lock")
 
 
-def _acquire_stage_lock(stage_path: str) -> int:
-    """Create + flock(LOCK_EX) the run's liveness lock file
-    (``<stage_path>.lock``), returning the held fd. The kernel releases
-    the lock on process death (no stale-lock break protocol needed —
-    same rationale as sources/catalog._commit_lock); run_with_resume
-    closes the fd in a finally so an injected in-process failure also
-    frees it. Fresh run_id => uncontended, so a non-blocking flock only
-    fails on a run_id collision, which is a caller bug worth raising."""
+def _acquire_stage_lock(stage_path: str, timeout_s: float = 5.0) -> int:
+    """Create + flock(LOCK_EX) the run's liveness lock file (the
+    ``.stage-<run_id>.lock`` dotfile from _stage_lock_path), returning
+    the held fd. The kernel releases the lock on process death (no
+    stale-lock break protocol needed — same rationale as
+    sources/catalog._commit_lock); run_with_resume closes the fd in a
+    finally so an injected in-process failure also frees it. Fresh
+    run_id => uncontended; the short retry window only matters when a
+    caller REUSES a crashed run_id while a sibling's sweep transiently
+    holds the dead lock for its liveness probe. Still held after the
+    timeout => a live run owns this run_id, a caller bug worth
+    raising."""
     import fcntl
     os.makedirs(os.path.dirname(stage_path), exist_ok=True)
     fd = os.open(_stage_lock_path(stage_path),
                  os.O_CREAT | os.O_RDWR, 0o644)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
-        os.close(fd)
-        raise RuntimeError(
-            f"stage lock for {stage_path} is held by a live run "
-            f"(duplicate run_id?)")
-    return fd
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fd
+        except OSError:
+            if time.monotonic() >= deadline:
+                os.close(fd)
+                raise RuntimeError(
+                    f"stage lock for {stage_path} is held by a live "
+                    f"run (duplicate run_id?)")
+            time.sleep(0.05)
 
 
 def _sweep_dead_stages(stage_root: str, keep: str) -> None:
     """Remove stage-* dirs whose owning run is DEAD — decided by probing
-    each dir's sibling liveness lock with a non-blocking flock: a live
-    owner holds its lock (probe fails -> skip), a dead owner's lock was
-    kernel-released (probe succeeds -> safe to delete). Dirs with no
-    lock file at all (pre-liveness-lock layouts) count as dead. ``keep``
-    is this run's own stage path, always skipped."""
+    each dir's ``.stage-<run_id>.lock`` dotfile sibling with a
+    non-blocking flock: a live owner holds its lock (probe fails ->
+    skip), a dead owner's lock was kernel-released (probe succeeds ->
+    safe to delete). Dirs with no lock file at all (pre-liveness-lock
+    layouts) count as dead. ``keep`` is this run's own stage path,
+    always skipped.
+
+    Lock FILES are never unlinked — only the stage DIR is removed
+    (CLAUDE.md's _commit_lock discipline): unlinking would re-open the
+    open/unlink race where a run re-acquiring the same run_id opens the
+    inode, the sweeper locks + unlinks it, and the run ends up holding
+    an orphaned inode while its on-disk lock path is gone — a later
+    sweep would then see its stage dir as lockless and delete the LIVE
+    run's staged input. The cost is one empty dotfile per historical
+    run_id under the stage root."""
     import fcntl
     for stale in glob.glob(os.path.join(stage_root, "stage-*")):
         if stale == keep or not os.path.isdir(stale):
@@ -162,7 +173,6 @@ def _sweep_dead_stages(stage_root: str, keep: str) -> None:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             # lock acquired (or never existed): owner is dead
             shutil.rmtree(stale, ignore_errors=True)
-            _unlink_quiet(lock_path)
         except OSError:
             continue   # lock held -> live sibling, leave it alone
         finally:
@@ -189,13 +199,15 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
 
     ``sweep_stale_stages`` (default on) removes crashed runs' stage-*
     dirs under the stage root before staging anew. Live siblings are
-    protected by a per-run flock liveness lock (``stage-<run_id>.lock``
-    beside the stage dir, held for the run's duration, kernel-released
-    on process death — the sources/catalog.py _commit_lock pattern): the
-    sweep only removes a stage dir whose lock it can acquire, so several
-    CONCURRENT runs may share one ``stage_dir`` safely. The lock file
-    sits BESIDE the dir (not inside) because Spark's overwrite write
-    recreates the stage dir, which would drop an in-dir lock file.
+    protected by a per-run flock liveness lock (the
+    ``.stage-<run_id>.lock`` dotfile beside the stage dir, held for the
+    run's duration, kernel-released on process death — the
+    sources/catalog.py _commit_lock pattern): the sweep only removes a
+    stage dir whose lock it can acquire, so several CONCURRENT runs may
+    share one ``stage_dir`` safely. The lock file sits BESIDE the dir
+    (not inside: Spark's overwrite write recreates the stage dir, which
+    would drop an in-dir lock file) and is never unlinked (see
+    _sweep_dead_stages).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     repaired = reconcile(spark, results, audit, ckpt, run_id)
@@ -261,7 +273,6 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
             # under its own run_id (deterministic group_of => identical
             # content); the liveness lock file goes with the dir
             shutil.rmtree(stage_path, ignore_errors=True)
-            _unlink_quiet(_stage_lock_path(stage_path))
     finally:
         if stage_lock_fd is not None:
             os.close(stage_lock_fd)   # releases the flock; crash paths

@@ -780,3 +780,17 @@ def test_cache_search_newest_first_and_all_stores(spark):
     assert keys == sorted(keys)                  # total order, ts DESC
     assert {r["store"] for r in rows} == {"analysis", "metadata",
                                           "fulltext"}
+
+
+def test_exact_dedup_no_fanout_on_duplicate_ids(spark):
+    """The marker-join rewrite must stay fan-out-free when the INPUT
+    violates id uniqueness (two keys sharing a min id): output rows
+    <= input rows always — the old semi-join was immune, the left join
+    needs slim-side distinct to be."""
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, None)],
+        "image_id long, phash string")
+    out = dedup.exact_dedup(df).collect()
+    assert len(out) == 3  # both id=1 rows kept (each a key-min), null passes
+    assert sorted((r.image_id, r.phash) for r in out) \
+        == [(1, "a"), (1, "b"), (3, None)]

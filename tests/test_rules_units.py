@@ -342,11 +342,14 @@ def test_domain_normalize_numpy_vs_sql(_docs_duck):
     site = {v for v in exp["body_site"] if v is not None}
     assert seq <= set(spec.SEQUENCING_TYPES)
     assert site <= set(spec.BODY_SITES)
-    # all three arms are exercised: mapped synonyms, the Other
-    # catch-all, and the NULL no-extraction case
+    # all three arms are exercised: mapped synonyms and the Other
+    # catch-all on the corpus, the NULL no-extraction arm on a
+    # constructed marker-free document
     assert "Other" in seq and len(seq) >= 3
     assert "Other" in site and len(site) >= 3
-    assert exp["seq_type"].isna().any() or True  # NULL arm optional at sf
+    null_arm = ri.domain_normalize(pd.Series(["zzz unmarked text"]))
+    assert null_arm.loc[0, "seq_type"] is None
+    assert null_arm.loc[0, "body_site"] is None
 
 
 def test_domain_enumerations_byte_exact():
