@@ -153,9 +153,13 @@ def rule_features(captions: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, index=captions.index)
 
 
-_FIELD_PATTERNS = {c: [re.compile(p) for p in pats]
+# re.ASCII aligns \b with the Java/RE2 renderings (ASCII word chars) —
+# see the _FALLBACK_MARKERS note; identical on the ASCII corpus, closes
+# a unicode-input drift between the three implementations.
+_FIELD_PATTERNS = {c: [re.compile(p, re.ASCII) for p in pats]
                    for c, pats in spec.FIELD_PATTERNS.items()}
-_CONDITION_PATTERNS = [re.compile(p) for p in spec.CONDITION_PATTERNS]
+_CONDITION_PATTERNS = [re.compile(p, re.ASCII)
+                       for p in spec.CONDITION_PATTERNS]
 
 
 def field_confidence(texts: pd.Series) -> pd.DataFrame:
@@ -272,7 +276,12 @@ def found_terms(texts: pd.Series) -> pd.DataFrame:
     return out
 
 
-_FALLBACK_MARKERS = {f: [re.compile(p) for p in pats]
+# re.ASCII: Python's \b is unicode-aware by default while Java regex
+# (Spark) and RE2 (DuckDB) use ASCII word chars — without the flag,
+# "éscan" word-bounds differently in the three engines. The spec's
+# common-regex-subset rule ([0-9] not \d) left \b as the one remaining
+# unicode-semantics hole; ASCII mode closes it for the numpy twin.
+_FALLBACK_MARKERS = {f: [re.compile(p, re.ASCII) for p in pats]
                      for f, pats in spec.FALLBACK_FIELD_MARKERS.items()}
 
 
@@ -299,7 +308,9 @@ def field_fallback(texts: pd.Series) -> pd.DataFrame:
 def _first_marker(t: str,
                   chain: tuple[tuple[str, str | None], ...]) -> str | None:
     for w, _canon in chain:
-        if re.search(r"\b" + w + r"\b", t):
+        # re.ASCII: see _FALLBACK_MARKERS — \b must be ASCII to match
+        # the Java/RE2 renderings of the same chain
+        if re.search(r"\b" + w + r"\b", t, re.ASCII):
             return w
     return None
 

@@ -237,3 +237,38 @@ def test_simhash_batch_matches_per_row_reference(captions):
                 votes[b] += 1 if (h >> b) & 1 else -1
         sig = sum(1 << b for b in range(64) if votes[b] > 0)
         assert int(got[r]) == sig, (r, text)
+
+
+# ASCII-only strategy for the round-4 rule twins: \b now agrees across
+# Python(re.ASCII)/Java/RE2, but unicode CASE-FOLDING still legitimately
+# differs between Python str.lower and the engines' ICU lower (e.g.
+# dotted-I) — the driver gate is Spark<->DuckDB, where lower() agrees;
+# the numpy twin is pinned on the ASCII plane where all three agree.
+ASCII_CAPTION = st.text(
+    alphabet=st.characters(min_codepoint=9, max_codepoint=126),
+    max_size=200)
+
+
+@given(st.lists(ASCII_CAPTION, min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_field_fallback_and_domain_normalize_duck_vs_numpy(captions):
+    """Round-4 rule twins: DuckDB rendering == numpy twin on random
+    ASCII captions (empties, pure punctuation, embedded markers,
+    phrase fragments)."""
+    import duckdb
+
+    from bioanalyzer_backend_spark import sqlgen
+    con = duckdb.connect()
+    df = pd.DataFrame({"doc_id": range(len(captions)), "text": captions})
+    con.register("documents", df)
+    got = (con.execute(sqlgen.field_fallback_sql(sqlgen.DUCK)).df()
+           .sort_values("row_id").reset_index(drop=True))
+    exp = ri.field_fallback(df["text"])
+    for col in exp.columns:
+        assert list(got[col]) == list(exp[col]), col
+    got2 = (con.execute(sqlgen.domain_normalize_sql(sqlgen.DUCK)).df()
+            .sort_values("row_id").reset_index(drop=True))
+    exp2 = ri.domain_normalize(df["text"])
+    for col in exp2.columns:
+        assert [v if pd.notna(v) else None for v in got2[col]] \
+            == list(exp2[col]), col
