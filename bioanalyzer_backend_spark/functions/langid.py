@@ -32,6 +32,21 @@ _MODEL_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 # featurization — shared by train and score; fully vectorized
 # --------------------------------------------------------------------------
 
+def encode_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """lower + utf-8 per row, concatenated into ONE byte buffer with
+    per-byte row ids for boundary masking. The single text-normalization
+    prologue BOTH byte-n-gram models build on (langid trigrams here,
+    perplexity bigrams) — two hand-kept copies previously risked the two
+    models silently diverging on a normalization change."""
+    encoded = [str(t).lower().encode("utf-8") if t is not None else b""
+               for t in texts]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64,
+                       count=len(encoded))
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
+    row_of = np.repeat(np.arange(len(encoded), dtype=np.int64), lens)
+    return buf, row_of
+
+
 def _trigram_buckets(texts) -> tuple[np.ndarray, np.ndarray]:
     """All byte-trigram hash buckets for a batch of strings.
 
@@ -39,20 +54,12 @@ def _trigram_buckets(texts) -> tuple[np.ndarray, np.ndarray]:
     <3 bytes contribute nothing. Strings are lowered and utf-8 encoded;
     a batch is processed as ONE concatenated buffer with boundary masking.
     """
-    encoded = [str(t).lower().encode("utf-8") if t is not None else b""
-               for t in texts]
-    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64,
-                       count=len(encoded))
-    total = int(lens.sum())
-    if total < 3:
+    buf, row_of = encode_batch(texts)
+    if buf.size < 3:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
-    row_of = np.repeat(np.arange(len(encoded), dtype=np.int64), lens)
-    if total >= 3:
-        h = (buf[:-2] * _MULT + buf[1:-1]) * _MULT + buf[2:]
-        ok = row_of[:-2] == row_of[2:]          # trigram inside one string
-        return row_of[:-2][ok], np.abs(h[ok]) % N_BUCKETS
-    return np.empty(0, np.int64), np.empty(0, np.int64)
+    h = (buf[:-2] * _MULT + buf[1:-1]) * _MULT + buf[2:]
+    ok = row_of[:-2] == row_of[2:]              # trigram inside one string
+    return row_of[:-2][ok], np.abs(h[ok]) % N_BUCKETS
 
 
 # --------------------------------------------------------------------------

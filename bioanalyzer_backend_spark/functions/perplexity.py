@@ -24,12 +24,10 @@ _MODEL_CACHE: dict[str, np.ndarray] = {}
 
 
 def _bigrams(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    encoded = [str(t).lower().encode("utf-8") if t is not None else b""
-               for t in texts]
-    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64,
-                       count=len(encoded))
-    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
-    row_of = np.repeat(np.arange(len(encoded), dtype=np.int64), lens)
+    # one shared normalization prologue with the langid trigram model —
+    # see langid.encode_batch
+    from .langid import encode_batch
+    buf, row_of = encode_batch(texts)
     if len(buf) < 2:
         e = np.empty(0, np.int64)
         return e, e, e

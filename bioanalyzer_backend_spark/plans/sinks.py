@@ -13,12 +13,31 @@ at warehouse scale a 100 TB result cannot be one rooted document.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# XML name production (ASCII NCName subset): tag names come from Spark
+# column names, which allow ANYTHING via backticks ('2col', 'a b',
+# 'x<y') — interpolating those into <{name}> silently emits a file no
+# XML parser accepts. Validated loudly instead.
+_XML_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9._-]*$")
+
+
+def _check_tag(name: str) -> str:
+    if not _XML_NAME.match(name):
+        raise ValueError(
+            f"{name!r} is not a valid XML tag name; rename the column "
+            f"(or pass cols=) — Spark identifiers allow characters XML "
+            f"element names do not")
+    return name
+
 
 def _xml_escape(c: Column) -> Column:
-    """&, <, > escaping for text/attribute content (order matters: & first)."""
+    """&, <, >, \" escaping for text/attribute content (order matters:
+    & first; the quote escape makes the same helper safe for attribute
+    values)."""
     c = F.regexp_replace(c, "&", "&amp;")
     c = F.regexp_replace(c, "<", "&lt;")
     c = F.regexp_replace(c, ">", "&gt;")
@@ -40,6 +59,9 @@ def xml_element(df: DataFrame, row_tag: str = "record",
     one child element per selected column (reference shape: <paper><pmid>
     ... cli.py:656-676). NULL values render as a self-closed empty tag."""
     cols = cols or [c for c, t in df.dtypes if t != "binary"]
+    _check_tag(row_tag)
+    for name in cols:
+        _check_tag(name)
     parts: list[Column] = [F.lit(f"<{row_tag}>")]
     for name in cols:
         body = (_cdata(F.col(name).cast("string")) if name in cdata_cols
@@ -67,6 +89,7 @@ def rooted_xml_string(df: DataFrame, root_tag: str = "records",
     """Single rooted document for bounded extracts (the reference writes
     whole files this way, cli.py:752-796); capped because collecting an
     unbounded result to the driver is exactly what this engine avoids."""
+    _check_tag(root_tag)
     rows = (xml_element(df.limit(limit), row_tag, cdata_cols, cols)
             .select("xml").collect())
     body = "\n".join(r[0] for r in rows)

@@ -136,38 +136,83 @@ class LocalSnapshotTable:
 
     # -- operations ------------------------------------------------------------
 
+    def _write_batch(self, df: DataFrame | None) -> tuple[str, list[str]]:
+        """Write *df* to a fresh uuid dir under data/, returning
+        ``(batch_dir, parquet_files)``; ``df=None`` yields an empty dir
+        (the racer-emptied-table arm of delete/compact). The ONE copy of
+        the write-then-list block (was pasted into append/merge/delete/
+        compact, which had started to diverge). A failed Spark write
+        removes its own partial dir — unreferenced data dirs must never
+        outlive the call that created them (see append/_commit_rewrite
+        for the commit-phase counterpart)."""
+        import shutil
+        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        if df is None:
+            os.makedirs(batch_dir, exist_ok=True)
+            return batch_dir, []
+        try:
+            df.write.mode("overwrite").parquet(batch_dir)
+        except Exception:
+            shutil.rmtree(batch_dir, ignore_errors=True)
+            raise
+        return batch_dir, [os.path.join(batch_dir, f)
+                           for f in os.listdir(batch_dir)
+                           if f.endswith(".parquet")]
+
     def append(self, df: DataFrame) -> str:
         """Write df as new data files, then atomically extend the manifest.
         The (slow) data write happens unlocked — unique dirs can't clash;
-        only the read-parent -> publish-HEAD section is exclusive."""
-        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(batch_dir)
-        new_files = [os.path.join(batch_dir, f)
-                     for f in os.listdir(batch_dir) if f.endswith(".parquet")]
-        with self._commit_lock():
-            cur = self.current_snapshot()
-            files = (cur["files"] if cur else []) + new_files
-            return self._commit(files, cur["snapshot"] if cur else None,
-                                "append")
+        only the read-parent -> publish-HEAD section is exclusive. If the
+        commit phase fails (lock timeout), the just-written orphan dir is
+        reclaimed — no manifest references it, so nothing else ever
+        would."""
+        import shutil
+        batch_dir, new_files = self._write_batch(df)
+        try:
+            with self._commit_lock():
+                cur = self.current_snapshot()
+                files = (cur["files"] if cur else []) + new_files
+                return self._commit(files, cur["snapshot"] if cur else None,
+                                    "append")
+        except Exception:
+            shutil.rmtree(batch_dir, ignore_errors=True)
+            raise
 
-    def _commit_rewrite(self, write_fn, operation: str,
+    def _commit_rewrite(self, df_fn, operation: str,
                         max_retries: int = 8) -> str:
         """Optimistic concurrency for content-dependent rewrites (the
-        Iceberg commit model): do the SLOW Spark rewrite of the current
-        snapshot UNLOCKED, then take the lock only to check the parent is
-        still HEAD and publish. If another writer committed meanwhile,
-        discard the orphan files and redo the rewrite against the new
-        HEAD — never hold the lock across a Spark job (a long rewrite
-        would look like a stale lock to waiters and get broken)."""
+        Iceberg commit model): build the rewrite DataFrame via ``df_fn``
+        and run the SLOW Spark write of it UNLOCKED, then take the lock
+        only to check the parent is still HEAD and publish. If another
+        writer committed meanwhile, discard the orphan files and redo the
+        rewrite against the new HEAD — never hold the lock across a Spark
+        job (a long rewrite would look like a stale lock to waiters and
+        get broken).
+
+        A write-phase FAILURE is also retried when HEAD moved since the
+        parent was read: a concurrent expire_snapshots may have reclaimed
+        the very files the rewrite was scanning (the standard
+        read-vs-expire race — Iceberg rewrites hit the same
+        FileNotFoundException), and the retry re-reads the new HEAD whose
+        files are live. HEAD unchanged means the failure is real. Every
+        failure path reclaims its orphan dir."""
         import shutil
 
         for attempt in range(max_retries):
             parent = self._head_snapshot_id()
-            batch_dir, new_files = write_fn()
-            with self._commit_lock():
+            batch_dir = None
+            try:
+                batch_dir, new_files = self._write_batch(df_fn())
+                with self._commit_lock():
+                    if self._head_snapshot_id() == parent:
+                        return self._commit(new_files, parent, operation)
+            except Exception:
+                if batch_dir is not None:
+                    shutil.rmtree(batch_dir, ignore_errors=True)
                 if self._head_snapshot_id() == parent:
-                    return self._commit(new_files, parent, operation)
-            shutil.rmtree(batch_dir, ignore_errors=True)   # lost the race
+                    raise          # genuine failure, not a commit race
+            else:
+                shutil.rmtree(batch_dir, ignore_errors=True)  # lost race
             # linear backoff desynchronizes contending writers (every
             # loser otherwise re-reads HEAD at the same instant and the
             # same writer can starve repeatedly)
@@ -182,20 +227,14 @@ class LocalSnapshotTable:
         matched target rows are replaced by source rows, unmatched source
         rows are inserted. Anti-join + union rewrite, committed with
         optimistic retry (see _commit_rewrite)."""
-        def write_fn():
+        def df_fn():
             cur_df = self.read(spark)
             if cur_df is None:
-                merged = src
-            else:
-                kept = cur_df.join(src.select(key), key, "left_anti")
-                merged = kept.unionByName(src)
-            batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-            merged.write.mode("overwrite").parquet(batch_dir)
-            return batch_dir, [os.path.join(batch_dir, f)
-                               for f in os.listdir(batch_dir)
-                               if f.endswith(".parquet")]
+                return src
+            kept = cur_df.join(src.select(key), key, "left_anti")
+            return kept.unionByName(src)
 
-        return self._commit_rewrite(write_fn, "merge")
+        return self._commit_rewrite(df_fn, "merge")
 
     def delete_where(self, spark: SparkSession, condition) -> str | None:
         """DELETE FROM ... WHERE condition (Iceberg row-delete analogue):
@@ -212,22 +251,17 @@ class LocalSnapshotTable:
         if self.read(spark) is None:
             return None
 
-        def write_fn():
+        def df_fn():
             cur_df = self.read(spark)
-            batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
             if cur_df is None:          # racer emptied the table mid-retry
-                os.makedirs(batch_dir, exist_ok=True)
-                return batch_dir, []
+                return None
             from pyspark.sql import functions as F
             cond = F.expr(condition) if isinstance(condition, str) \
                 else condition
             keep = ~F.coalesce(cond.cast("boolean"), F.lit(False))
-            cur_df.where(keep).write.mode("overwrite").parquet(batch_dir)
-            return batch_dir, [os.path.join(batch_dir, f)
-                               for f in os.listdir(batch_dir)
-                               if f.endswith(".parquet")]
+            return cur_df.where(keep)
 
-        return self._commit_rewrite(write_fn, "delete")
+        return self._commit_rewrite(df_fn, "delete")
 
     def read(self, spark: SparkSession,
              snapshot_id: str | None = None) -> DataFrame | None:
@@ -241,7 +275,13 @@ class LocalSnapshotTable:
                 snap = json.load(f)
         if snap is None or not snap["files"]:
             return None
-        return spark.read.parquet(*snap["files"])
+        # mergeSchema: a snapshot can span appends with evolving schemas
+        # (e.g. the streaming appender's _query_id/_batch_id columns next
+        # to a plain batch append); without it Spark infers from ONE
+        # sampled footer and silently drops the other files' columns —
+        # which would break the appender's replay probe, among others.
+        return (spark.read.option("mergeSchema", "true")
+                .parquet(*snap["files"]))
 
     def compact(self, spark: SparkSession, target_files: int = 8) -> str:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analogue).
@@ -252,39 +292,45 @@ class LocalSnapshotTable:
         ``target_files`` files and commits the new list atomically —
         readers see either the old file set or the new one, never a mix.
         Old files stay on disk for time-travel until expired."""
-        def write_fn():
+        def df_fn():
             cur_df = self.read(spark)
-            batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
             if cur_df is None:          # racer emptied the table mid-retry
-                os.makedirs(batch_dir, exist_ok=True)
-                return batch_dir, []
-            cur_df.repartition(target_files).write.mode("overwrite") \
-                .parquet(batch_dir)
-            return batch_dir, [os.path.join(batch_dir, f)
-                               for f in os.listdir(batch_dir)
-                               if f.endswith(".parquet")]
+                return None
+            return cur_df.repartition(target_files)
 
-        return self._commit_rewrite(write_fn, "compact")
+        return self._commit_rewrite(df_fn, "compact")
 
     def expire_snapshots(self, keep: int = 1) -> int:
         """Delete data files referenced ONLY by snapshots older than the
         ``keep`` most recent (Iceberg ``expire_snapshots`` analogue).
-        Returns the number of files deleted."""
-        chain = self.history()
-        keep_snaps = chain[:keep]
-        live: set[str] = set()
-        for name in keep_snaps:
-            with open(os.path.join(self.meta_dir, name)) as f:
-                live.update(json.load(f)["files"])
-        gone: set[str] = set()
-        for name in chain[keep:]:
-            with open(os.path.join(self.meta_dir, name)) as f:
-                for path in json.load(f)["files"]:
-                    if path not in live and path not in gone \
-                            and os.path.exists(path):
-                        os.remove(path)
-                        gone.add(path)
-        return len(gone)
+        Returns the number of files deleted.
+
+        Runs under the commit lock: the chain walk + deletions must see
+        a frozen HEAD, or a commit landing mid-walk could publish a
+        snapshot whose files this pass just classified as dead. File
+        deletion is pure os.remove — no Spark job, so holding the lock
+        is within the sub-second contract. A CONCURRENT in-flight
+        rewrite that was reading a now-expired snapshot fails its Spark
+        write, sees HEAD moved, and retries against the live HEAD
+        (_commit_rewrite); a time-travel reader holding an expired
+        snapshot id fails by design, exactly as Iceberg's
+        expire_snapshots documents."""
+        with self._commit_lock():
+            chain = self.history()
+            keep_snaps = chain[:keep]
+            live: set[str] = set()
+            for name in keep_snaps:
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    live.update(json.load(f)["files"])
+            gone: set[str] = set()
+            for name in chain[keep:]:
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    for path in json.load(f)["files"]:
+                        if path not in live and path not in gone \
+                                and os.path.exists(path):
+                            os.remove(path)
+                            gone.add(path)
+            return len(gone)
 
 
 class IcebergTable:
@@ -320,30 +366,71 @@ class IcebergTable:
         return spark.read.format("iceberg").load(self.identifier)
 
 
+def streaming_query_id(checkpoint_dir: str) -> str:
+    """The StreamingQuery's persistent id, read from the checkpoint's
+    ``metadata`` json. This is THE id Spark keeps stable across restarts
+    from the same checkpoint and regenerates for a fresh checkpoint —
+    exactly the dedup scope the docs' (queryId, epochId) exactly-once
+    recipe needs. '' when the query hasn't started yet (metadata is
+    written at query start, before batch 0 fires)."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f).get("id", "")
+    except (FileNotFoundError, json.JSONDecodeError):
+        return ""
+
+
 class IdempotentBatchAppender:
     """At-least-once -> exactly-once adapter for foreachBatch sinks.
 
     foreachBatch replays a micro-batch after a crash between the table
     append and the streaming checkpoint commit. Appending blindly
     duplicates that batch; re-reading the whole table per batch to probe
-    ``_batch_id`` costs O(files) per trigger. This helper seeds the seen
-    set from the table ONCE (covers crash-restart replays, the only case
-    an in-memory set misses) and answers later batches from memory."""
+    the committed set costs O(files) per trigger. This helper seeds the
+    seen set from the table ONCE (covers crash-restart replays, the only
+    case an in-memory set misses) and answers later batches from memory.
 
-    def __init__(self, table):
+    Dedup is keyed on (query id, batch id) — Spark's documented
+    exactly-once recipe — not batch id alone: epoch ids restart at 0
+    for a new checkpoint, so with ``checkpoint_dir`` given, a
+    checkpoint reset (new query id) correctly re-admits batch ids an
+    OLD incarnation committed, and two different queries can share one
+    results table without eating each other's epochs. The query id is
+    read lazily from the checkpoint's metadata at first append (it
+    exists once the query is running). Without ``checkpoint_dir`` the
+    namespace is '' — the pre-round-4 single-query behavior."""
+
+    def __init__(self, table, checkpoint_dir: str | None = None):
         self.table = table
+        self._ckpt = checkpoint_dir
+        self._ns: str | None = None
         self._seen: set[int] | None = None
+
+    def _namespace(self) -> str:
+        if self._ns is None:
+            self._ns = (streaming_query_id(self._ckpt)
+                        if self._ckpt else "")
+        return self._ns
 
     def _seed(self, spark: SparkSession) -> set[int]:
         df = self.table.read(spark)
         if df is None or "_batch_id" not in df.columns:
             return set()
+        from pyspark.sql import functions as F
+        if "_query_id" in df.columns:
+            # rows from tables predating the query-id column carry NULL
+            # after the mergeSchema read; they belong to namespace ''
+            df = df.where(F.coalesce(F.col("_query_id"), F.lit(""))
+                          == self._namespace())
+        elif self._namespace() != "":
+            return set()
         return {r[0] for r in df.select("_batch_id").distinct().collect()}
 
     def append(self, batch_df: DataFrame, batch_id: int) -> bool:
-        """Append unless this batch id already committed; True if written.
-        The seen-check runs BEFORE isEmpty so a replayed batch skips
-        without evaluating the (possibly UDF-heavy) batch plan at all."""
+        """Append unless (query id, batch id) already committed; True if
+        written. The seen-check runs BEFORE isEmpty so a replayed batch
+        skips without evaluating the (possibly UDF-heavy) batch plan at
+        all."""
         if self._seen is None:
             self._seen = self._seed(batch_df.sparkSession)
         if batch_id in self._seen:
@@ -351,7 +438,10 @@ class IdempotentBatchAppender:
         if batch_df.isEmpty():
             return False
         from pyspark.sql import functions as F
-        self.table.append(batch_df.withColumn("_batch_id", F.lit(batch_id)))
+        self.table.append(batch_df
+                          .withColumn("_batch_id", F.lit(batch_id))
+                          .withColumn("_query_id",
+                                      F.lit(self._namespace())))
         self._seen.add(batch_id)
         return True
 
@@ -375,11 +465,24 @@ def open_table(spark: SparkSession, location: str):
     """Location routing by FORM, not by what happens to be on the
     classpath: a dotted identifier with no path separators
     ('catalog.db.tbl') is an Iceberg table id (requires the runtime jar);
-    anything containing '/' or a URI scheme is a filesystem path ->
-    LocalSnapshotTable. A slash-bearing string must never silently flip
-    to an Iceberg identifier just because the jar is present."""
-    is_path = "/" in location or "://" in location
-    if not is_path:
+    a plain posix path -> LocalSnapshotTable. A slash-bearing string
+    must never silently flip to an Iceberg identifier just because the
+    jar is present.
+
+    URI-scheme locations (s3://, hdfs://, even file://) are REJECTED:
+    LocalSnapshotTable's commit machinery is os-level (makedirs/listdir/
+    flock), which cannot operate on a URI — it would create a bogus
+    local './s3:' tree while Spark writes to the remote store, then
+    crash listing it after the (expensive) remote write. Remote object
+    stores need the real Iceberg catalog (its CAS commit replaces the
+    local flock)."""
+    if "://" in location:
+        raise ValueError(
+            f"{location!r} is a URI; LocalSnapshotTable commits via local "
+            f"posix metadata (makedirs/flock) and cannot manage a remote "
+            f"store — use an Iceberg catalog identifier for s3/hdfs "
+            f"locations, or a plain local path")
+    if "/" not in location:
         if have_iceberg(spark):
             return IcebergTable(location)
         raise ValueError(

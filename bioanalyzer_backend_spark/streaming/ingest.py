@@ -20,8 +20,24 @@ from pyspark.sql import functions as F
 from ..plans import pipeline as pipe
 from ..sources.catalog import LocalSnapshotTable
 
-IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
-                 "caption string, phash long")
+
+def _ddl_of(pa_schema) -> str:
+    """Spark DDL string derived from the ONE pyarrow writer schema
+    (datagen/synth.IMAGES_SCHEMA) — a hand-kept string twin silently
+    nulls any column added to the writer but missed here (an explicit
+    stream schema is never reconciled against the files)."""
+    _PA2DDL = {"string": "string", "binary": "binary", "int32": "int",
+               "int64": "long", "double": "double", "float": "float"}
+    return ", ".join(f"{f.name} {_PA2DDL[str(f.type)]}"
+                     for f in pa_schema)
+
+
+def _images_ddl() -> str:
+    from ..datagen.synth import IMAGES_SCHEMA as PA_IMAGES
+    return _ddl_of(PA_IMAGES)
+
+
+IMAGES_SCHEMA = _images_ddl()
 
 
 def read_image_stream(spark: SparkSession, input_dir: str,
@@ -38,12 +54,17 @@ def start_quality_filter_stream(stream_df: DataFrame,
                                 available_now: bool = True):
     """Run the full (UDF-gated) pipeline per micro-batch; atomic appends.
 
-    Dedup is per-batch only (a global window over an unbounded stream is
-    unbounded state): exact cross-batch dedup belongs to the batch
-    compaction pass, mirroring the reference's cache-then-recompute split.
+    NO dedup runs in-stream (``with_dedup=False``; the results table has
+    no ``is_dup`` column): a global dedup window over an unbounded
+    stream is unbounded state, and even per-batch flags would disagree
+    with the batch pipeline's global canonical choice. Cross-batch exact
+    dedup is the job of either streaming/stateful.stateful_dedup
+    (first-arrival-wins with bounded TTL state) or the batch compaction
+    pass — mirroring the reference's cache-then-recompute split.
     """
     from ..sources.catalog import IdempotentBatchAppender
-    appender = IdempotentBatchAppender(results)
+    appender = IdempotentBatchAppender(results,
+                                       checkpoint_dir=checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         appender.append(pipe.quality_filter(batch_df, with_dedup=False),

@@ -174,7 +174,8 @@ def start_stateful_dedup(stream_df: DataFrame,
                          available_now: bool = True):
     from ..sources.catalog import IdempotentBatchAppender
     flags = stateful_dedup(stream_df, state_ttl_ms)
-    appender = IdempotentBatchAppender(results)
+    appender = IdempotentBatchAppender(results,
+                                       checkpoint_dir=checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         appender.append(batch_df, batch_id)

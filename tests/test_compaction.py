@@ -119,3 +119,66 @@ def test_concurrent_merges_converge(spark, tmp_path):
     got = tbl.read(spark)
     assert got.count() == 1 + 5 * 5
     assert got.select("k").distinct().count() == 26
+
+
+def test_appender_scopes_dedup_by_query_id(spark, tmp_path):
+    """Exactly-once keying is (query id, batch id): a fresh checkpoint
+    (new query id) restarts epochs at 0 and must NOT be deduped against
+    an old incarnation's batch 0 — that was silent data loss."""
+    import json as _json
+
+    from bioanalyzer_backend_spark.sources.catalog import (
+        IdempotentBatchAppender, LocalSnapshotTable)
+
+    def mk_ckpt(name, qid):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "metadata").write_text(_json.dumps({"id": qid}))
+        return str(d)
+
+    tbl = LocalSnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(3).toDF("v")
+    a1 = IdempotentBatchAppender(tbl, checkpoint_dir=mk_ckpt("c1", "q-1"))
+    assert a1.append(df, 0) is True
+    assert a1.append(df, 0) is False            # same-query replay skipped
+    # checkpoint reset -> new query id -> epoch 0 again: MUST append
+    a2 = IdempotentBatchAppender(tbl, checkpoint_dir=mk_ckpt("c2", "q-2"))
+    assert a2.append(df, 0) is True
+    # crash-restart of q-2 (fresh appender, same checkpoint): replay skips
+    a3 = IdempotentBatchAppender(tbl, checkpoint_dir=mk_ckpt("c3", "q-2"))
+    a3._ckpt = str(tmp_path / "c2")             # same checkpoint on disk
+    a3._ns = None
+    assert a3.append(df, 0) is False
+    out = tbl.read(spark)
+    assert out.count() == 6                     # q-1 batch0 + q-2 batch0
+    assert {r["_query_id"] for r in out.select("_query_id").collect()} \
+        == {"q-1", "q-2"}
+
+
+def test_open_table_rejects_uri_schemes(spark):
+    import pytest as _pytest
+
+    from bioanalyzer_backend_spark.sources.catalog import open_table
+    for loc in ("s3://bucket/wh/results", "hdfs://nn/wh/t",
+                "file:///tmp/x"):
+        with _pytest.raises(ValueError, match="URI"):
+            open_table(spark, loc)
+
+
+def test_failed_rewrite_reclaims_orphan_dir(spark, tmp_path):
+    """A rewrite whose Spark write fails must not leave an unreferenced
+    data dir behind (they are never manifest-listed, so nothing else
+    would ever reclaim them)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from bioanalyzer_backend_spark.sources.catalog import LocalSnapshotTable
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.range(5).toDF("v"))
+    n_dirs = len(_os.listdir(tbl.data_dir))
+    with _pytest.raises(Exception):
+        # delete_where with a predicate referencing a missing column
+        # fails inside the Spark write phase with HEAD unchanged
+        tbl.delete_where(spark, "no_such_column = 1")
+    assert len(_os.listdir(tbl.data_dir)) == n_dirs   # no orphan dir

@@ -101,3 +101,16 @@ def test_xml_escaping_adversarial(spark):
     el = root.find("record")
     assert el.find("free").text == evil      # escaped path round-trips
     assert el.find("cap").text == evil       # split-CDATA path round-trips
+
+
+def test_xml_rejects_invalid_tag_names(spark):
+    import pytest as _pytest
+
+    from bioanalyzer_backend_spark.plans import sinks
+    df = spark.createDataFrame([(1, "x")], ["ok", "2bad"])
+    with _pytest.raises(ValueError, match="XML tag"):
+        sinks.xml_element(df)
+    with _pytest.raises(ValueError, match="XML tag"):
+        sinks.xml_element(df.select("ok"), row_tag="a b")
+    # valid subset passes
+    assert sinks.xml_element(df, cols=["ok"]).select("xml").count() == 1
