@@ -132,8 +132,30 @@ def generate(n_rows: int, seed: int = 42, dims=(16, 32, 64),
             s += 1
         sizes.append(s)
         left -= s
+    # Top-up rows: every cluster BASE below is a re-labeled existing row
+    # (not an addition), so without these the table would come out
+    # len(sizes) rows short of the requested n_rows — and bench corpora
+    # named images_n600000 actually held 596,787 rows (generator v1).
+    for _ in range(len(sizes)):
+        lang = _pick_lang(rng)
+        caps.append(_base_caption(rng, lang))
+        pixel_list.append(_make_pixels(rng, dims))
+        fmts.append("bmp" if rng.random() < 0.8 else "ppm")
+        langs.append(lang)
+        groups.append("")
+    n_pool = len(caps)          # rows eligible as cluster bases
     for ci, size in enumerate(sizes):
         bi = int(rng.integers(0, n_base))
+        # forward-probe past rows another cluster already claimed as its
+        # base (deterministic, no extra rng draws): re-picking would
+        # silently reassign the earlier cluster's base to this group,
+        # splitting that group's base from its clones — corrupted dup
+        # ground truth (near-certain by birthday bound at 100k+ rows:
+        # ~534 clusters drawn from ~96k bases). Clone/edge rows live at
+        # indices >= n_pool, so the modulo never probes them; the pool
+        # always has >= len(sizes) ungrouped rows by construction.
+        while groups[bi]:
+            bi = (bi + 1) % n_pool
         gkey = f"dup{ci}"
         groups[bi] = gkey
         for _ in range(size - 1):
@@ -282,11 +304,15 @@ def write_images_parquet(out_dir: str, n_rows: int, seed: int = 42,
                          dims=(16, 32, 64), force: bool = False) -> str:
     """Generate-once cache keyed by EVERY generation parameter —
     (n_rows, seed, dims) — so two callers with different dims can never
-    silently serve each other the wrong corpus."""
+    silently serve each other the wrong corpus. The g2 tag is the
+    GENERATOR version (round 4: exact row counts + collision-free
+    cluster bases): bumping it retires stale v1 cache files by name
+    instead of deleting them (CLAUDE.md: .bench_cache regeneration is
+    slow; old files stay for any in-flight reader)."""
     os.makedirs(out_dir, exist_ok=True)
     dtag = "x".join(str(d) for d in dims)
     path = os.path.join(out_dir,
-                        f"images_n{n_rows}_s{seed}_d{dtag}.parquet")
+                        f"images_n{n_rows}_s{seed}_d{dtag}_g2.parquet")
     meta_path = path.replace(".parquet", "_meta.parquet")
     if os.path.exists(path) and os.path.exists(meta_path) and not force:
         return path

@@ -64,7 +64,7 @@ def image_stats(df: DataFrame) -> DataFrame:
             .mapInPandas(gen, schema=IMAGE_STATS_SCHEMA))
 
 
-def _block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+def _nearest_index_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w, _ = px.shape
     yi = (np.arange(out_h) * h // out_h)
     xi = (np.arange(out_w) * w // out_w)
@@ -87,7 +87,7 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                     px = imgcodec.decode(bytes(blob), fmt)
                 except Exception:
                     continue
-                small = _block_mean_resize(px, out_h, out_w)
+                small = _nearest_index_resize(px, out_h, out_w)
                 rows["image_id"].append(iid)
                 rows["bytes"].append(imgcodec.encode_bmp(small))
                 rows["w"].append(out_w)

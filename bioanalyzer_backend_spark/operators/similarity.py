@@ -53,6 +53,35 @@ def _planes(dim: int, n_planes: int, seed: int = 97) -> np.ndarray:
     return rng.standard_normal((dim, n_planes)).astype(np.float64)
 
 
+def _row_vec(x, dim: int) -> np.ndarray | None:
+    """One embedding cell -> float64 vector of length *dim*, or None for
+    NULL / wrong-length / non-numeric junk."""
+    if x is None:
+        return None
+    try:
+        arr = np.asarray(x, dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+    return arr if arr.shape == (dim,) else None
+
+
+def _batch_matrix(v: pd.Series, dim: int) -> np.ndarray | None:
+    """Whole Arrow batch -> (n, dim) matrix on the hot path; None when
+    any row is NULL/ragged (caller takes the per-row fallback). A
+    previous version np.asarray'd the raw list: one NULL row raised
+    'inhomogeneous shape' and failed the whole stage, and an all-empty
+    batch produced an (n, 0) matrix whose size==0 guard returned a
+    WRONG-LENGTH (zero-row) result for n input rows."""
+    vals = v.tolist()
+    if any(x is None or not hasattr(x, "__len__") or len(x) != dim
+           for x in vals):
+        return None
+    try:
+        return np.asarray(vals, dtype=np.float64).reshape(len(vals), dim)
+    except (TypeError, ValueError):
+        return None
+
+
 def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
                     vec_col: str = "embedding", seed: int = 97) -> DataFrame:
     """Append a LONG bucket = sign-bit signature of seeded hyperplanes.
@@ -63,14 +92,22 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
     if not 1 <= n_planes <= 63:
         raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
     planes = _planes(dim, n_planes, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @F.pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        if mat.size == 0:
+        sigs = _batch_matrix(v, dim)
+        if sigs is None:                      # malformed rows present
+            vals = v.tolist()
+            out = []
+            for x in vals:
+                arr = _row_vec(x, dim)
+                out.append(None if arr is None else
+                           int(((arr @ planes) > 0) @ weights))
+            return pd.Series(pd.array(out, dtype="Int64"))
+        if sigs.shape[0] == 0:
             return pd.Series(np.zeros(0, dtype=np.int64))
-        bits = (mat @ planes) > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        bits = (sigs @ planes) > 0
         return pd.Series((bits @ weights).astype(np.int64))
 
     return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
@@ -104,8 +141,22 @@ def ivf_train_centroids(df: DataFrame, n_centroids: int = 16,
     the index reproducible across runs/retries."""
     rows = (df.select(id_col, vec_col).orderBy(id_col)
             .limit(sample_n).collect())
-    mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    vecs = [np.asarray(r[1], dtype=np.float64) for r in rows
+            if r[1] is not None]
+    if not vecs:
+        raise ValueError(
+            "ivf_train_centroids: the training sample is empty (or all "
+            "embeddings NULL) — cannot train a quantizer")
+    if len({v.shape for v in vecs}) != 1:
+        raise ValueError(
+            "ivf_train_centroids: ragged embedding lengths in the "
+            f"training sample: {sorted({v.shape for v in vecs})}")
+    mat = np.asarray(vecs)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    # fewer sample rows than requested centroids: train what the data
+    # supports (rng.choice(replace=False) would raise an opaque
+    # 'larger sample than population'); every vector becomes a seed
+    n_centroids = min(n_centroids, len(mat))
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
     for _ in range(iters):
@@ -123,11 +174,22 @@ def with_ivf_list(df: DataFrame, centroids: np.ndarray,
     """Append ivf_list = argmax-cosine centroid id. One matmul per Arrow
     batch against the broadcast centroid matrix (executor-side numpy)."""
     cent = centroids.copy()
+    dim = int(cent.shape[1])
 
     @F.pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        if mat.size == 0:
+        mat = _batch_matrix(v, dim)
+        if mat is None:                       # malformed rows -> NULL list
+            out = []
+            for x in v.tolist():
+                arr = _row_vec(x, dim)
+                if arr is None:
+                    out.append(None)
+                else:
+                    arr = arr / max(float(np.linalg.norm(arr)), 1e-12)
+                    out.append(int((cent @ arr).argmax()))
+            return pd.Series(pd.array(out, dtype="Int32"))
+        if mat.shape[0] == 0:
             return pd.Series(np.zeros(0, dtype=np.int32))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                                1e-12)
@@ -188,7 +250,14 @@ def embedding_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
              .join(vecs.selectExpr("_vid AS id_b", "_v AS vb", "_n AS nb"),
                    "id_b"))
     scored = pairs.selectExpr(
-        "id_a", "id_b", f"{_dot_expr('va', 'vb')} / (na * nb) AS cos_sim")
+        "id_a", "id_b",
+        # NULLIF: a zero-norm junk vector in a bucket pair makes
+        # 0/0 = NaN, and Spark evaluates NaN >= threshold as TRUE —
+        # junk pairs would surface as confirmed near-dups. NULL fails
+        # the filter instead, matching the _q_embedding_neardup SQL
+        # twin's NULLIF(a.nrm * b.nrm, 0.0) and cosine_topk's guard.
+        f"{_dot_expr('va', 'vb')} / "
+        f"NULLIF(na * nb, CAST(0.0 AS DOUBLE)) AS cos_sim")
     return scored.where(F.col("cos_sim") >= threshold)
 
 

@@ -38,10 +38,21 @@ def stable_salt(id_col: str, n_salt: int) -> Column:
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int")
 
 
+def _check_no_salt_col(df: DataFrame) -> None:
+    # withColumn REPLACES by name: a pre-existing _salt column would be
+    # silently overwritten (then dropped / wrongly grouped) — the same
+    # temp-column clash apply_core_rules raises on
+    if SALT_COL in df.columns:
+        raise ValueError(
+            f"input already has a {SALT_COL!r} column; rename it — the "
+            f"salting operators reserve that name")
+
+
 def salted_repartition(df: DataFrame, keys: list[str], id_col: str,
                        n_salt: int = 16,
                        num_partitions: int | None = None) -> DataFrame:
     """Repartition by (keys..., salt) so one hot key spans n_salt partitions."""
+    _check_no_salt_col(df)
     out = df.withColumn(SALT_COL, stable_salt(id_col, n_salt))
     cols = [F.col(k) for k in keys] + [F.col(SALT_COL)]
     if num_partitions:
@@ -62,6 +73,7 @@ def salted_sum_agg(df: DataFrame, keys: list[str],
     associative; for doubles the regroup can differ in last-ulp like any
     Spark partition reordering).
     """
+    _check_no_salt_col(df)
     salted = df.withColumn(SALT_COL, stable_salt(id_col, n_salt))
     partial = salted.groupBy(*keys, SALT_COL).agg(
         *[F.sum(c).alias(f"_p_{a}") for a, c in sums.items()])

@@ -134,6 +134,12 @@ def apply_dedup_flag(df: DataFrame, key: str = "phash",
     """
     from pyspark.sql.types import BinaryType
 
+    if "_canon" in df.columns:
+        # the post-join F.col('_canon') reference would be ambiguous
+        # (two same-named columns after the left join) — the same
+        # temp-column clash apply_core_rules raises on
+        raise ValueError("apply_dedup_flag reserves the column name "
+                         "'_canon'; rename it on the input")
     has_bytes = any(isinstance(f.dataType, BinaryType)
                     for f in df.schema.fields)
     if has_bytes and not broadcast_hint:

@@ -794,3 +794,77 @@ def test_exact_dedup_no_fanout_on_duplicate_ids(spark):
     assert len(out) == 3  # both id=1 rows kept (each a key-min), null passes
     assert sorted((r.image_id, r.phash) for r in out) \
         == [(1, "a"), (1, "b"), (3, None)]
+
+
+# --------------------------------------------------------------------------
+# similarity robustness (round-4 review pass)
+# --------------------------------------------------------------------------
+
+def test_lsh_bucket_tolerates_null_and_ragged(spark):
+    """A NULL or wrong-length embedding yields a NULL bucket (the row
+    drops out of candidate joins) instead of crashing the whole stage
+    with numpy's 'inhomogeneous shape'."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None), (3, [1.0] * 5), (4, [2.0] * 8)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["lsh_bucket"]
+           for r in similarity.with_lsh_bucket(df, 8).collect()}
+    assert out[2] is None and out[3] is None
+    assert out[1] is not None and out[4] is not None
+    # clean batches take the vectorized path and agree with per-row
+    clean = spark.createDataFrame(
+        [(1, [1.0] * 8), (4, [2.0] * 8)],
+        "vec_id long, embedding array<double>")
+    clean_out = {r["vec_id"]: r["lsh_bucket"]
+                 for r in similarity.with_lsh_bucket(clean, 8).collect()}
+    assert clean_out == {1: out[1], 4: out[4]}
+
+
+def test_embedding_neardup_zero_norm_guarded(spark):
+    """0/0 = NaN and Spark treats NaN >= threshold as TRUE — zero-norm
+    junk pairs must NOT surface as near-dups (the SQL twin's NULLIF
+    semantics)."""
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [0.0] * 8), (3, [1.0] * 8), (4, [1.0] * 8)],
+        "vec_id long, embedding array<double>")
+    ids = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_neardup_pairs(df, 8).collect()}
+    assert (3, 4) in ids
+    assert (1, 2) not in ids
+
+
+def test_ivf_clamps_centroids_to_small_corpus(spark):
+    """Fewer rows than n_centroids trains what the data supports instead
+    of an opaque rng.choice ValueError; empty corpus raises clearly."""
+    df = spark.createDataFrame(
+        [(i, [float(i + 1)] * 4) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    out = similarity.ivf_cosine_topk(df, [1.0] * 4, k=3, n_centroids=16,
+                                     n_probe=16)
+    assert out.count() == 3
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivf_train_centroids(empty)
+
+
+def test_salted_ops_reject_reserved_column(spark):
+    from bioanalyzer_backend_spark.operators import skew
+    df = spark.createDataFrame([(1, "a", 1)], ["id", "k", "_salt"])
+    with pytest.raises(ValueError, match="_salt"):
+        skew.salted_repartition(df, ["k"], "id")
+    with pytest.raises(ValueError, match="_salt"):
+        skew.salted_sum_agg(df, ["k"], {"n": F.lit(1)}, "id")
+
+
+def test_synth_generate_exact_rowcount_and_group_truth():
+    """generate(n) returns EXACTLY n rows (v1 came out one short per dup
+    cluster) and every dup group has >= 2 members with a single base
+    (collision-free cluster bases — a re-picked base silently split an
+    earlier group's base from its clones)."""
+    import collections
+
+    from bioanalyzer_backend_spark.datagen import synth
+    t, m = synth.generate(3000, seed=42)
+    assert len(t["image_id"]) == 3000
+    cnt = collections.Counter(g for g in m["dup_group"] if g)
+    assert cnt and all(v >= 2 for v in cnt.values())
