@@ -260,12 +260,14 @@ Run-to-run honesty: this box carries outside load that comes and goes
 (load avg 0.4 -> 9 within an hour observed); identical code measured
 0.666 (shared box), 0.734 and 0.841 (idle box) in round 3, 0.894 in
 round 2 (before the round-3 scrub-guard speedup shifted the flagship's
-CPU mix), and 0.851 (idle box) in round 4 on current code. The table
-keeps the best idle-box run of the CURRENT code, per the min-of-N
-convention every number in this file uses; treat the honest range on
-this shared box as ~0.65-0.9. Scaling runs are only meaningful when
-nothing else runs on the box (uptime load < 4) — this paragraph is
-part of the bench template so regeneration cannot drop it.
+CPU mix), and in round 4: 0.851 on the v1 corpus, then 0.667 / 0.794 /
+0.801 back-to-back on the exact-row-count g2 corpus (same code, minutes
+apart — the swing is the box, not the engine). The table keeps the best
+idle-box run of the CURRENT code+corpus, per the min-of-N convention
+every number in this file uses; treat the honest range on this shared
+box as ~0.65-0.9. Scaling runs are only meaningful when nothing else
+runs on the box (uptime load < 4) — this paragraph is part of the
+bench template so regeneration cannot drop it.
 
 ## Micro-bench: vectorized 64-bit SimHash UDF
 
