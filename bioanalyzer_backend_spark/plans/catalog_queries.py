@@ -434,7 +434,7 @@ ver AS (SELECT c.ra, c.rb, CAST(COUNT(*) AS BIGINT) AS i
 vp AS (SELECT v.ra AS pa, v.rb AS pb
        FROM ver v JOIN sz sa ON sa.row_id = v.ra
                   JOIN sz sb ON sb.row_id = v.rb
-       WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= 0.8)"""
+       WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= {sqlgen.fmt(0.8)})"""
 
 
 def _q_neardup_dedup(d: str, shingle_src: str | None = None) -> str:
@@ -731,7 +731,10 @@ WITH bands(lo, hi, band) AS (
          (CAST(20.0 AS DOUBLE), CAST(1000000.0 AS DOUBLE), 'high')
 )
 SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(e.value) AS DOUBLE) AS total
+       -- DECIMAL-exact sum (the _q_events_summary discipline): a raw
+       -- DOUBLE sum's value depends on partial-aggregate combine order,
+       -- which diverges between engines the moment the scan splits
+       CAST(SUM(CAST(e.value AS DECIMAL(18, 2))) AS DOUBLE) AS total
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band
 """
@@ -753,7 +756,8 @@ def _q_hypertable_rollup(d: str) -> str:
 SELECT CAST(FLOOR({ep} / CAST(3600 AS DOUBLE)) AS BIGINT) AS bucket_h,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(value) AS DOUBLE) AS total
+       -- DECIMAL-exact sum: order-independent across engines/splits
+       CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total
 FROM events
 GROUP BY 1, 2
 """

@@ -30,7 +30,9 @@ from .. import spec
 
 _SPLIT = re.compile(spec.TOKEN_SPLIT_RE)
 _TOKTRIM = re.compile(spec.TOKEN_TRIM_RE)
-_WS_ALL = re.compile(spec.TOKEN_SPLIT_RE)
+_WS_ALL = _SPLIT   # same pattern BY CONSTRUCTION: n_nonspace must strip
+# exactly the whitespace class tokenization splits on — two separate
+# compiles of the same spec constant invited silent desynchronization
 _ALPHA = re.compile(r"[A-Za-z]")
 _SCRUB = [(re.compile(p), r) for p, r in spec.SCRUB_CHAIN]
 _STOPSET = frozenset(spec.ALL_STOPWORDS)

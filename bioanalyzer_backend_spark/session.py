@@ -111,8 +111,21 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     if _VIEWS_FOR.get(app_id) == sf_dir \
             and all(spark.catalog.tableExists(t) for t in TESTDATA_TABLES):
         return
+    missing = []
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).createOrReplaceTempView(t)
-    _VIEWS_FOR[app_id] = sf_dir
+        else:
+            missing.append(t)
+            # NEVER leave a stale same-named view from a PREVIOUS sf_dir
+            # standing: a later query would silently join this sf_dir's
+            # tables against the old scale's data
+            spark.catalog.dropTempView(t)
+    if missing:
+        # partial dir: views for the present tables are registered, but
+        # the memo must NOT claim the full set — the next register call
+        # re-checks instead of trusting a cross-scale mix
+        _VIEWS_FOR.pop(app_id, None)
+    else:
+        _VIEWS_FOR[app_id] = sf_dir

@@ -215,9 +215,22 @@ def fold_bigint(arr: str, body: str, d: str) -> str:
 # shared fragments
 # --------------------------------------------------------------------------
 
+def lowtrim(col: str) -> str:
+    """lower(trim(coalesce(col, ''))) — the ONE null-safe lowered base
+    every text query builds on. COALESCE first: a NULL text must behave
+    exactly like the empty string, because the numpy reference oracle
+    maps None -> "" (fillna) while bare SQL NULL would propagate into
+    LEAST/GREATEST — which SKIP NULL args in both engines — silently
+    clamping a NULL document's rule scores to their MAXIMUM (empirically:
+    score_rep/alpha/stop = 1.0, readiness READY for a NULL row). The
+    shipped testdata has no NULLs, so only this coalesce keeps arbitrary
+    crawl inputs on the three-implementation invariant."""
+    return f"lower(trim(coalesce({col}, '')))"
+
+
 def tokens_expr(col: str, d: str) -> str:
     """Lowered, whitespace-split, punct-trimmed, non-empty tokens."""
-    raw = rx_split(f"lower(trim({col}))", spec.TOKEN_SPLIT_RE, d)
+    raw = rx_split(lowtrim(col), spec.TOKEN_SPLIT_RE, d)
     trimmed = arr_transform(
         raw, f"x -> {rx_replace_all('x', spec.TOKEN_TRIM_RE, '', d)}", d)
     return arr_filter(trimmed, "x -> x != ''", d)
@@ -233,7 +246,7 @@ def scrub_expr(col: str, d: str) -> str:
     taken CASE branch evaluates the prior chain exactly once per row, so
     this changes evaluation COST only, never the value — pinned by the
     hypothesis scrub==reference_impl property and the DuckDB oracle."""
-    e = col
+    e = f"coalesce({col}, '')"   # NULL scrubs like '' (numpy fillna twin)
     for pattern, repl in spec.SCRUB_CHAIN:
         step = rx_replace_all(e, pattern, repl, d)
         guard = spec.SCRUB_GUARDS.get(pattern)
@@ -270,7 +283,8 @@ def _status_case(score: str) -> str:
 # --------------------------------------------------------------------------
 
 def base_exprs(d: str, text_col: str) -> list[str]:
-    return [f"trim({text_col}) AS t", f"{tokens_expr(text_col, d)} AS toks"]
+    return [f"trim(coalesce({text_col}, '')) AS t",
+            f"{tokens_expr(text_col, d)} AS toks"]
 
 
 def count_exprs(d: str) -> list[str]:
@@ -433,8 +447,8 @@ def field_confidence_sql(d: str, table: str = "documents",
     return f"""
 WITH base AS (
   SELECT {id_col} AS row_id,
-         lower(trim({text_col})) AS t,
-         substring(lower(trim({text_col})), 1, {spec.CONTENT_PREFIX_CHARS}) AS content
+         {lowtrim(text_col)} AS t,
+         substring({lowtrim(text_col)}, 1, {spec.CONTENT_PREFIX_CHARS}) AS content
   FROM {table}
 ),
 m AS (
@@ -482,7 +496,7 @@ def methods_coverage_sql(d: str, table: str = "documents",
     total = fmt(float(len(cats)))
     return f"""
 WITH base AS (
-  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+  SELECT {id_col} AS row_id, {lowtrim(text_col)} AS t FROM {table}
 ),
 cov AS (
   SELECT row_id, CAST({n} AS INT) AS n_matched FROM base
@@ -503,7 +517,7 @@ def condition_extract_sql(d: str, table: str = "documents",
     chain = ", ".join(rx_extract("t", p, 1, d)
                       for p in spec.CONDITION_PATTERNS)
     return (f"SELECT {id_col} AS row_id, COALESCE({chain}) AS condition_hit "
-            f"FROM (SELECT {id_col}, lower(trim({text_col})) AS t "
+            f"FROM (SELECT {id_col}, {lowtrim(text_col)} AS t "
             f"FROM {table}) s")
 
 
@@ -519,7 +533,7 @@ def factor_score_sql(d: str, table: str = "documents",
         for words in spec.FACTOR_LISTS.values() for w in words)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+  SELECT {id_col} AS row_id, {lowtrim(text_col)} AS t FROM {table}
 ),
 f AS (
   SELECT row_id, CAST({terms} AS INT) AS n_factors FROM base
@@ -580,7 +594,7 @@ def found_terms_sql(d: str, table: str = "documents",
     inner = ",\n       ".join(cols)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+  SELECT {id_col} AS row_id, {lowtrim(text_col)} AS t FROM {table}
 ),
 f AS (
   SELECT row_id,
@@ -624,7 +638,7 @@ def field_fallback_sql(d: str, table: str = "documents",
     outs = ",\n       ".join(out_cols)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+  SELECT {id_col} AS row_id, {lowtrim(text_col)} AS t FROM {table}
 ),
 f AS (
   SELECT row_id,
@@ -678,7 +692,7 @@ def domain_normalize_sql(d: str, table: str = "documents",
     raw_site = _first_match_chain(spec.BODY_SITE_CHAIN, d)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+  SELECT {id_col} AS row_id, {lowtrim(text_col)} AS t FROM {table}
 ),
 r AS (
   SELECT row_id,
@@ -701,7 +715,7 @@ def finding_confidence_sql(d: str, table: str = "documents",
                        for w in spec.FINDING_MARKERS)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS row_id, lower(trim({text_col})) AS t FROM {table}
+  SELECT {id_col} AS row_id, {lowtrim(text_col)} AS t FROM {table}
 ),
 f AS (
   SELECT row_id, CAST({terms} AS INT) AS n_findings FROM base
@@ -809,7 +823,7 @@ g AS (
   SELECT q.row_id,
          {rpt} AS rpt
   FROM q JOIN (SELECT {id_col} AS row_id,
-                      lower(trim({text_col})) AS t FROM {table}) dd
+                      {lowtrim(text_col)} AS t FROM {table}) dd
          ON q.row_id = dd.row_id
 ),
 p AS (

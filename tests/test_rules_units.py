@@ -365,3 +365,52 @@ def test_domain_enumerations_byte_exact():
         assert canon is None or canon in spec.SEQUENCING_TYPES
     for _w, canon in spec.BODY_SITE_CHAIN:
         assert canon is None or canon in spec.BODY_SITES
+
+
+def test_null_text_matches_numpy_oracle():
+    """A NULL text must behave exactly like '' across the whole rule
+    surface (the numpy oracle fillna's None -> ''): bare SQL NULL would
+    propagate into LEAST/GREATEST — which SKIP NULL args in both
+    engines — silently scoring a NULL document 1.0 on three rules and
+    parsing its report as READY (empirically confirmed pre-fix). The
+    shipped testdata has no NULLs, so this regression test is the only
+    guard for arbitrary crawl inputs."""
+    import duckdb
+
+    from bioanalyzer_backend_spark import sqlgen
+    con = duckdb.connect()
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": [None, "", "key agg row scan slow"]})
+    con.register("documents", df)
+
+    got = (con.execute(sqlgen.quality_core_sql(sqlgen.DUCK)).df()
+           .sort_values("row_id").reset_index(drop=True))
+    exp = ri.rule_features(df["text"])
+    for col in ("score_len", "score_word", "score_rep", "score_alpha",
+                "score_stop", "quality_score"):
+        assert np.array_equal(got[col].to_numpy(),
+                              exp[col].to_numpy()), col
+    assert list(got["n_present"]) == list(exp["n_present"])
+    assert bool(got.loc[0, "keep"]) is False            # NULL == '' arm
+    assert got.loc[0, "n_chars"] == 0
+    assert got.loc[0, "quality_score"] == 0.0
+
+    for sql_fn, np_fn, key in (
+            (sqlgen.field_confidence_sql, ri.field_confidence,
+             "field_conf"),
+            (sqlgen.factor_score_sql, ri.factor_score, "factor_score"),
+            (sqlgen.finding_confidence_sql, ri.finding_confidence,
+             "finding_conf")):
+        g = (con.execute(sql_fn(sqlgen.DUCK)).df()
+             .sort_values("row_id").reset_index(drop=True))
+        e = np_fn(df["text"])
+        assert np.array_equal(g[key].to_numpy(), e[key].to_numpy()), key
+        assert g.loc[0, key] == 0.0, key                # NULL row scores 0
+
+    rp = (con.execute(sqlgen.report_parse_sql(sqlgen.DUCK)).df()
+          .sort_values("row_id").reset_index(drop=True))
+    assert rp.loc[0, "readiness"] != "READY"            # never READY on NULL
+    # scrub: NULL -> '' like the numpy fillna twin, not NULL
+    sc = (con.execute(sqlgen.scrub_sql(sqlgen.DUCK)).df()
+          .sort_values("row_id").reset_index(drop=True))
+    assert sc.loc[0, "scrubbed"] == ""
