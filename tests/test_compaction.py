@@ -182,3 +182,36 @@ def test_failed_rewrite_reclaims_orphan_dir(spark, tmp_path):
         # fails inside the Spark write phase with HEAD unchanged
         tbl.delete_where(spark, "no_such_column = 1")
     assert len(_os.listdir(tbl.data_dir)) == n_dirs   # no orphan dir
+
+
+def test_rewrite_retries_when_expire_reclaims_its_snapshot(spark, tmp_path):
+    """The read-vs-expire race: a rewrite captured parent S1 and built
+    its plan over S1's files; a concurrent commit + expire_snapshots
+    then deleted those files mid-rewrite. The write phase fails, HEAD
+    has moved, and _commit_rewrite must RETRY against the live HEAD
+    instead of failing the merge (Iceberg rewrites hit the same
+    FileNotFoundException)."""
+    from pyspark.sql import functions as F
+
+    from bioanalyzer_backend_spark.sources.catalog import LocalSnapshotTable
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+
+    calls = {"n": 0}
+
+    def df_fn():
+        calls["n"] += 1
+        cur = tbl.read(spark)               # plan over the CURRENT files
+        if calls["n"] == 1:
+            # concurrent writer commits, maintenance expires the old
+            # snapshot -> the files `cur` references are deleted before
+            # the rewrite executes
+            tbl.append(spark.createDataFrame([(3, "c")], ["k", "v"]))
+            tbl.compact(spark, target_files=1)
+            assert tbl.expire_snapshots(keep=1) > 0
+        return cur.withColumn("v", F.upper(F.col("v")))
+
+    tbl._commit_rewrite(df_fn, "upcase-test")
+    assert calls["n"] >= 2                  # first attempt lost the race
+    got = sorted((r["k"], r["v"]) for r in tbl.read(spark).collect())
+    assert got == [(1, "A"), (2, "B"), (3, "C")]

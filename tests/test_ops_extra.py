@@ -868,3 +868,27 @@ def test_synth_generate_exact_rowcount_and_group_truth():
     assert len(t["image_id"]) == 3000
     cnt = collections.Counter(g for g in m["dup_group"] if g)
     assert cnt and all(v >= 2 for v in cnt.values())
+
+
+def test_invalidation_hook_drops_cached_derived_views(spark):
+    """invalidate_testdata_views must flush DERIVED materialized views
+    (shingles_v etc.) through the session hook — a derived cached view
+    outliving a base-view replacement would lazily recompute from the
+    impostor view after cache eviction (round-3 advice)."""
+    from bioanalyzer_backend_spark.plans import catalog_queries as cq
+    from bioanalyzer_backend_spark.session import (invalidate_testdata_views,
+                                                   register_testdata_views)
+
+    from .conftest import SF001
+    register_testdata_views(spark, SF001)
+    cq._materialize_shingles(spark, SF001)
+    assert spark.catalog.tableExists("shingles_v")
+    app = spark.sparkContext.applicationId
+    assert cq._MAT_VIEW_FOR["shingles_v"].get(app) == SF001
+    invalidate_testdata_views(spark)
+    assert not spark.catalog.tableExists("shingles_v")
+    assert app not in cq._MAT_VIEW_FOR["shingles_v"]
+    # re-registration + re-materialization works from scratch
+    register_testdata_views(spark, SF001)
+    cq._materialize_shingles(spark, SF001)
+    assert spark.catalog.tableExists("shingles_v")
