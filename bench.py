@@ -261,13 +261,18 @@ Run-to-run honesty: this box carries outside load that comes and goes
 0.666 (shared box), 0.734 and 0.841 (idle box) in round 3, 0.894 in
 round 2 (before the round-3 scrub-guard speedup shifted the flagship's
 CPU mix), and in round 4: 0.851 on the v1 corpus, then 0.667 / 0.794 /
-0.801 back-to-back on the exact-row-count g2 corpus (same code, minutes
-apart — the swing is the box, not the engine). The table keeps the best
-idle-box run of the CURRENT code+corpus, per the min-of-N convention
-every number in this file uses; treat the honest range on this shared
-box as ~0.65-0.9. Scaling runs are only meaningful when nothing else
-runs on the box (uptime load < 4) — this paragraph is part of the
-bench template so regeneration cannot drop it.
+0.801 / 0.928 back-to-back on the exact-row-count g2 corpus (same code,
+minutes apart — the swing is the box, not the engine). Each ratio pairs
+the SAME invocation's min-of-3 sides, so noise hits numerator and
+denominator independently: the 0.928 run's 2-core side was depressed
+(14.1k img/s vs 17.8k best observed), which inflates that ratio just as
+a depressed 8-core side deflated the 0.667 one. Pairing the best
+observed sides across all round-4 runs gives ~0.85; the honest central
+estimate on this shared box is ~0.80 with spread ~0.65-0.93. The table
+reports the latest single-invocation run; scaling runs are only
+meaningful when nothing else runs on the box (uptime load < 4) — this
+paragraph is part of the bench template so regeneration cannot drop
+it.
 
 ## Micro-bench: vectorized 64-bit SimHash UDF
 
