@@ -92,3 +92,32 @@ def test_generated_sql_runs_on_streams(spark, tmp_path):
         from bioanalyzer_backend_spark.session import \
             invalidate_testdata_views
         invalidate_testdata_views(spark)
+
+
+def test_checkpoint_reset_reprocesses_instead_of_silent_drop(
+        spark, stream_input, tmp_path, artifacts_dir):
+    """Checkpoint reset = 'process everything again'. Epoch ids restart
+    at 0, so a batch-id-only dedup key silently DISCARDED every replayed
+    batch (data loss); keying on (query id, batch id) re-admits them
+    under the new query's namespace. Exercises the REAL checkpoint
+    metadata path, not a faked metadata file."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    results = LocalSnapshotTable(str(tmp_path / "res"))
+    ckpt = str(tmp_path / "ckpt")
+    ingest.start_quality_filter_stream(
+        ingest.read_image_stream(spark, stream_input),
+        results, ckpt).awaitTermination(120)
+    n1 = results.read(spark).count()
+    assert n1 > 0
+
+    shutil.rmtree(ckpt)                       # operator resets the stream
+    ingest.start_quality_filter_stream(
+        ingest.read_image_stream(spark, stream_input),
+        results, ckpt).awaitTermination(120)
+    out = results.read(spark)
+    assert out.count() == 2 * n1              # replay ADMITTED, not eaten
+    qids = [r[0] for r in out.select("_query_id").distinct().collect()]
+    assert len(qids) == 2 and all(q for q in qids)   # two real query ids
