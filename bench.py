@@ -112,7 +112,9 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              "tfidf_top_terms_documents",
              # round-4 additions
              "field_fallback_documents", "domain_normalize_documents",
-             "cache_search_events")
+             "cache_search_events",
+             # round-5 addition
+             "ops_dashboard_events")
     reg = registry()
     times = {}
     for name in heads:

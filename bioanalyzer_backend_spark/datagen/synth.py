@@ -224,11 +224,23 @@ IMAGES_SCHEMA = pa.schema([
 
 AUDIO_SCHEMA = pa.schema([
     ("clip_id", pa.string()), ("bytes", pa.binary()), ("fmt", pa.string()),
+    ("gt_ok", pa.bool_()), ("gt_err", pa.string()),
+    ("gt_duration_s", pa.float64()), ("gt_sample_rate", pa.int32()),
+    ("gt_rms", pa.float64()),
 ])
 
 VIDEO_SCHEMA = pa.schema([
     ("video_id", pa.string()), ("bytes", pa.binary()), ("fmt", pa.string()),
+    ("gt_n_frames", pa.int32()), ("gt_spf", pa.float64()),
+    ("gt_step", pa.int32()), ("gt_w", pa.int32()), ("gt_h", pa.int32()),
+    ("gt_frame_bytes", pa.int32()),
 ])
+
+# What multimodal.audio_features reports for a non-RIFF container (the
+# generator's mp3/flac rows both fail the 4-byte magic check). Pinned as
+# a literal so the oracle compare also binds on the operator's
+# "{type}: {msg}" error formatting.
+_NON_RIFF_ERR = "ValueError: not a RIFF/WAVE file"
 
 
 def write_audio_parquet(out_dir: str, n_rows: int, seed: int = 43,
@@ -237,23 +249,39 @@ def write_audio_parquet(out_dir: str, n_rows: int, seed: int = 43,
     mono PCM16 WAV sine+noise clips of varying rate/length, plus ~5%
     compressed-container rows (MP3/FLAC magic bytes — no codec in this
     sandbox) that must surface as error rows (F6). Generate-once cache
-    keyed by every generation parameter, like write_images_parquet."""
-    from ..operators.multimodal import encode_wav_pcm16
+    keyed by every generation parameter, like write_images_parquet.
+
+    g3 adds generator ground-truth columns (gt_*) so the driver's DuckDB
+    oracle can check the extracted features value-exactly (round-5
+    verdict item 1). They are computed from the generation parameters
+    and the quantization arithmetic — NOT by calling the RIFF parser
+    under test — so a parser regression (wrong chunk offset, wrong rate
+    field) diverges from gt and fails the compare. The pipeline column
+    set (clip_id, bytes, fmt) is untouched; audio_features() projects
+    (clip_id, bytes) so gt columns never reach the Spark path."""
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"audio_n{n_rows}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"audio_n{n_rows}_s{seed}_g3.parquet")
     if os.path.exists(path) and not force:
         return path
     rng = np.random.default_rng(seed)
+    from ..operators.multimodal import encode_wav_pcm16
     ids, blobs, fmts = [], [], []
+    gt_ok, gt_err, gt_dur, gt_rate, gt_rms = [], [], [], [], []
     for i in range(n_rows):
         ids.append(f"clip{i:08d}")
         u = float(rng.random())
-        if u < 0.03:                       # compressed container -> error
-            blobs.append(b"ID3\x03\x00" + rng.bytes(64))
-            fmts.append("mp3")
-        elif u < 0.05:
-            blobs.append(b"fLaC" + rng.bytes(64))
-            fmts.append("flac")
+        if u < 0.05:                       # compressed container -> error
+            if u < 0.03:
+                blobs.append(b"ID3\x03\x00" + rng.bytes(64))
+                fmts.append("mp3")
+            else:
+                blobs.append(b"fLaC" + rng.bytes(64))
+                fmts.append("flac")
+            gt_ok.append(False)
+            gt_err.append(_NON_RIFF_ERR)
+            gt_dur.append(None)
+            gt_rate.append(None)
+            gt_rms.append(None)
         else:
             rate = (8000, 16000)[int(rng.integers(0, 2))]
             secs = 0.05 + float(rng.random()) * 0.2
@@ -264,39 +292,82 @@ def write_audio_parquet(out_dir: str, n_rows: int, seed: int = 43,
                 + 0.02 * rng.standard_normal(t.size)
             blobs.append(encode_wav_pcm16(wave, rate))
             fmts.append("wav")
-    pq.write_table(pa.table({"clip_id": ids, "bytes": blobs, "fmt": fmts},
-                            schema=AUDIO_SCHEMA), path, row_group_size=4096)
+            # Ground truth mirrors the PCM16 quantization (encode side)
+            # and the /32768 dequantization (decode side) arithmetic, so
+            # the value is bit-identical to what a CORRECT parser yields
+            # — without routing through the parser itself.
+            q = (np.clip(wave, -1.0, 1.0) * 32767.0).astype("<i2")
+            pcm = q.astype(np.float64) / 32768.0
+            gt_ok.append(True)
+            gt_err.append(None)
+            gt_dur.append(t.size / rate)
+            gt_rate.append(rate)
+            gt_rms.append(float(np.sqrt(np.mean(pcm ** 2))))
+    pq.write_table(pa.table(
+        {"clip_id": ids, "bytes": blobs, "fmt": fmts, "gt_ok": gt_ok,
+         "gt_err": gt_err, "gt_duration_s": gt_dur,
+         "gt_sample_rate": gt_rate, "gt_rms": gt_rms},
+        schema=AUDIO_SCHEMA), path, row_group_size=4096)
     return path
 
 
 def write_video_parquet(out_dir: str, n_rows: int, seed: int = 44,
-                        force: bool = False) -> str:
+                        every_s: float = 1.0, force: bool = False) -> str:
     """Deterministic synthetic video table (video_id, bytes, fmt):
     uncompressed RGB24 AVI clips (4-16 frames at 4 fps, small dims),
     plus ~5% compressed-container rows (H.264-ish magic) that the frame
-    sampler must skip. Generate-once cache like write_images_parquet."""
+    sampler must skip. Generate-once cache like write_images_parquet.
+
+    g3 adds generator ground-truth columns (gt_*) for the driver's
+    DuckDB oracle of video_frame_sample (round-5 verdict item 1),
+    computed from the generation parameters — frame count / dims / fps
+    are knowns, seconds-per-frame mirrors the avih microsecond rounding,
+    the sampling stride mirrors video_frame_sample's step formula at
+    ``every_s`` (the registry entry's setting — baked into gt_step), and
+    gt_frame_bytes is the BMP size formula (54-byte header + 4-aligned
+    rows), NOT a call to encode_bmp. A parser/sampler/encoder regression
+    diverges from gt and fails the compare."""
     from ..operators.multimodal import encode_avi_rgb24
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"video_n{n_rows}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"video_n{n_rows}_s{seed}_g3.parquet")
     if os.path.exists(path) and not force:
         return path
     rng = np.random.default_rng(seed)
+    fps = 4
+    spf = int(1e6 / fps) / 1e6            # avih stores integer microseconds
+    step = max(1, round(every_s / spf))
     ids, blobs, fmts = [], [], []
+    gt_nf, gt_spf, gt_step, gt_w, gt_h, gt_fb = [], [], [], [], [], []
     for i in range(n_rows):
         ids.append(f"vid{i:08d}")
         if float(rng.random()) < 0.05:     # compressed container -> skip
             blobs.append(b"\x00\x00\x00\x18ftypmp42" + rng.bytes(64))
             fmts.append("mp4")
+            gt_nf.append(None)
+            gt_spf.append(None)
+            gt_step.append(None)
+            gt_w.append(None)
+            gt_h.append(None)
+            gt_fb.append(None)
         else:
             n_frames = int(rng.integers(4, 17))
             w = int(rng.integers(4, 9))
             h = int(rng.integers(4, 9))
             frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                       for _ in range(n_frames)]
-            blobs.append(encode_avi_rgb24(frames, fps=4))
+            blobs.append(encode_avi_rgb24(frames, fps=fps))
             fmts.append("avi")
-    pq.write_table(pa.table({"video_id": ids, "bytes": blobs, "fmt": fmts},
-                            schema=VIDEO_SCHEMA), path, row_group_size=4096)
+            gt_nf.append(n_frames)
+            gt_spf.append(spf)
+            gt_step.append(step)
+            gt_w.append(w)
+            gt_h.append(h)
+            gt_fb.append(54 + h * (3 * w + (4 - (3 * w) % 4) % 4))
+    pq.write_table(pa.table(
+        {"video_id": ids, "bytes": blobs, "fmt": fmts, "gt_n_frames": gt_nf,
+         "gt_spf": gt_spf, "gt_step": gt_step, "gt_w": gt_w, "gt_h": gt_h,
+         "gt_frame_bytes": gt_fb},
+        schema=VIDEO_SCHEMA), path, row_group_size=4096)
     return path
 
 

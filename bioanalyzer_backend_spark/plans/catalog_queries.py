@@ -1253,6 +1253,40 @@ def _q_error_rows(d: str) -> str:
             "WHERE event_type = 'error'")
 
 
+def _q_ops_dashboard(d: str) -> str:
+    """Ops-dashboard rollup (scripts/log_dashboard.py:52-143): the
+    reference tails its performance/error/main logs into global counters
+    — total / successful / failed / cached queries, average response
+    time, recent errors, recent activity. Re-expressed as ONE
+    GROUPING-SETS aggregate over the events stream: the () row IS the
+    dashboard's global panel (total, ok/error split + rate, avg/min/max
+    duration, recent-window activity) and the per-event_type rows are
+    the per-operation drill-down the log format implies. "Recent" is
+    anchored to MAX(ts) (deterministic — no wall clock), mirroring the
+    dashboard's tail-of-log semantics. Scale: one scan + one shuffle;
+    the max-ts scalar subquery broadcasts; the DECIMAL-cast sum keeps
+    the avg independent of partial-agg combine order (CLAUDE.md)."""
+    return """
+WITH m AS (SELECT MAX(ts) AS max_ts FROM events)
+SELECT COALESCE(event_type, '<all>') AS op,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_ok,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS error_rate,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v,
+       CAST(SUM(CASE WHEN ts >= max_ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_recent
+FROM events CROSS JOIN m
+GROUP BY GROUPING SETS ((event_type), ())
+"""
+
+
 def _q_cache_search(d: str) -> str:
     """Cache search across stores (cache_manager.py:395-426
     search_cache): ONE LIKE-'%q%' substring query probes all three
@@ -1365,6 +1399,10 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "field_fallback_documents": sqlgen.field_fallback_sql,
     "domain_normalize_documents": sqlgen.domain_normalize_sql,
     "cache_search_events": _q_cache_search,
+    # Round-5 micro-fidelity port: ops-dashboard rollup
+    # (scripts/log_dashboard.py:52-143) — the last unported reference
+    # behavior of substance (round-4 verdict item 3).
+    "ops_dashboard_events": _q_ops_dashboard,
     # Training-split / sampling primitives (deterministic hash-based).
     "stratified_sample_documents": _q_stratified_sample,
     "split_assign_documents": _q_split_assign,
@@ -1662,26 +1700,67 @@ def _synth_video_df(spark: SparkSession):
 def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: decode binary WAV/PCM16 column -> duration /
     rate / RMS features + error rows for compressed containers
-    (mapInPandas, operators/multimodal.audio_features). Rows-only driver
-    check; the exact oracle is the known-sine pytest
-    (test_audio_features_wav_pcm16). Reference analogue: binary content
+    (mapInPandas, operators/multimodal.audio_features). DuckDB-oracled
+    since round 5 against the generator's ground-truth columns
+    (datagen/synth.py g3) — value-exact incl. the error-row message;
+    the known-sine pytest (test_audio_features_wav_pcm16) stays as the
+    independent analytic oracle. Reference analogue: binary content
     handling S2 (data_retrieval.py:258-357)."""
     from ..operators import multimodal
     return multimodal.audio_features(_synth_audio_df(spark))
+
+
+def _audio_stats_oracle() -> str:
+    """Ground-truth twin of _q_audio_stats: the gt_* columns written by
+    write_audio_parquet, renamed to the operator's schema. Generating
+    the parquet here (idempotent, 600 rows) keeps the oracle valid even
+    if the driver runs DuckDB before the Spark side."""
+    from ..datagen import synth
+    path = synth.write_audio_parquet(_bench_cache_dir(), _SYNTH_AV_ROWS)
+    return f"""
+SELECT clip_id, gt_ok AS ok, gt_err AS err, gt_duration_s AS duration_s,
+       CAST(gt_sample_rate AS INT) AS sample_rate, gt_rms AS rms
+FROM read_parquet('{path}')
+"""
 
 
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video: uncompressed-AVI frame sampling, one row per
     sampled frame (mapInPandas row-multiplier); frame bytes projected to
     lengths like the resize entry (binary stays out of the compare).
-    Rows-only driver check; exact oracle = pixel-exact pytest
-    (test_video_frame_sample_avi)."""
+    DuckDB-oracled since round 5: the oracle re-derives the sampled
+    frame set (indices, timestamps, BMP byte sizes, dims) from the
+    generator ground-truth columns — the pixel-exact pytest
+    (test_video_frame_sample_avi) remains the frame-content oracle."""
     from pyspark.sql import functions as F
 
     from ..operators import multimodal
     out = multimodal.video_frame_sample(_synth_video_df(spark), every_s=1.0)
     return out.select("video_id", "frame_idx", "ts_s",
                       F.length("bytes").alias("n_bytes"), "w", "h", "fmt")
+
+
+def _video_frames_oracle() -> str:
+    """Ground-truth twin of _q_video_frames: expand each AVI row into its
+    sampled frame indices (generate_series over gt_n_frames/gt_step —
+    inclusive stop, so n-1 matches Python's range(0, n, step)) and
+    compute ts/bytes/dims from the generator columns. mp4 rows are
+    excluded, mirroring the sampler's skip."""
+    from ..datagen import synth
+    path = synth.write_video_parquet(_bench_cache_dir(), _SYNTH_AV_ROWS)
+    return f"""
+WITH gt AS (SELECT * FROM read_parquet('{path}') WHERE fmt = 'avi'),
+fx AS (SELECT video_id,
+              UNNEST(generate_series(0, gt_n_frames - 1, gt_step)) AS fi,
+              gt_spf, gt_frame_bytes, gt_w, gt_h
+       FROM gt)
+SELECT video_id, CAST(fi AS INT) AS frame_idx,
+       CAST(fi AS DOUBLE) * gt_spf AS ts_s,
+       CAST(gt_frame_bytes AS INT) AS n_bytes,
+       CAST(gt_w AS INT) AS w, CAST(gt_h AS INT) AS h,
+       'bmp' AS fmt
+FROM fx
+"""
 
 
 def _q_keep_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,8 +1797,6 @@ _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_stats_multimodal": _q_image_stats,
     "resize_thumbs_multimodal": _q_resize_thumbs,
     "dup_pixel_verify_images": _q_dup_pixel_verify,
-    "audio_stats_multimodal": _q_audio_stats,
-    "video_frames_multimodal": _q_video_frames,
 }
 
 
@@ -1855,11 +1932,46 @@ def _mk_spark_fn_mat_tf(builder: Callable[..., str]):
 # plan changes), then the freshly-r3-recorded set. Names absent from
 # this list keep their builder-dict insertion order at the end.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- new in round 4 ---
+    # --- new or re-oracled in round 5 (ops dashboard port; audio/video
+    # gained ground-truth DuckDB oracles) ---
+    "ops_dashboard_events",
+    "audio_stats_multimodal",
+    "video_frames_multimodal",
+    # --- newest driver record is r3 (missed the 50-entry r4 cut) ---
+    "qf_core_documents",
+    "qf_scrub_documents",
+    "qf_keep_by_lang",
+    "tok_stats_documents",
+    "bpe_token_count_documents",
+    "fingerprint_documents",
+    "langid_marker_documents",
+    "ngram_jaccard_top20",
+    "simhash16_documents",
+    "rolling_fp_documents",
+    "embedding_neardup_pairs",
+    "neardup_dedup_documents",
+    "confidence_boost_documents",
+    "curation_summary_documents",
+    "zscore_quality_by_lang",
+    "stats_by_lang",
+    "audit_grouping_sets",
+    "inverted_index_top5",
+    "taxa_extract_documents",
+    "events_ttl_recent",
+    "events_summary",
+    "ann_lsh_exact_top10",
+    "ann_ivf_exact_top10",
+    "qf_full_images",
+    "langid_udf_documents",
+    "ann_lsh_top10",
+    "ann_ivf_top10",
+    "image_stats_multimodal",
+    "resize_thumbs_multimodal",
+    "dup_pixel_verify_images",
+    # --- r4-recorded, rotated below the stale set ---
     "field_fallback_documents",
     "domain_normalize_documents",
     "cache_search_events",
-    # --- last driver record is r2 (missed the 50-entry r3 cut) ---
     "lineitem_rollup",
     "join_orders_nation",
     "shipping_priority_top10",
@@ -1887,15 +1999,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "split_assign_documents",
     "pack_sequences_documents",
     "mixture_sample_documents",
-    # --- code changed in round 4 (singleton-bucket prune; exact_dedup
-    # single-scan rewrite) — value-identical by design, re-proven here ---
     "simhash_pairs_wide_documents",
     "simhash_pairs_documents",
     "minhash_lsh_pairs",
     "dedup_exact_documents",
-    # --- r3-recorded, rotated below the stale set ---
-    "audio_stats_multimodal",
-    "video_frames_multimodal",
     "gopher_repetition_documents",
     "tfidf_top_terms_documents",
     "decontaminate_documents",
@@ -1910,15 +2017,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_join_top3",
     "dup_components_embeddings",
     "dedup_transitive_documents",
-    "ann_lsh_exact_top10",
-    "ann_ivf_exact_top10",
-    "qf_full_images",
-    "langid_udf_documents",
-    "ann_lsh_top10",
-    "ann_ivf_top10",
-    "image_stats_multimodal",
-    "resize_thumbs_multimodal",
-    "dup_pixel_verify_images",
 )
 
 
@@ -1972,6 +2070,12 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
                                   _q_cosine_topk(DUCK))
     reg["ann_ivf_exact_top10"] = (_q_ann_ivf_exact_top10,
                                   _q_cosine_topk(DUCK))
+    # Multimodal audio/video vs generator ground truth (round-5 verdict
+    # item 1): feature extraction and frame sampling become driver-oracled
+    # instead of rows-only.
+    reg["audio_stats_multimodal"] = (_q_audio_stats, _audio_stats_oracle())
+    reg["video_frames_multimodal"] = (_q_video_frames,
+                                      _video_frames_oracle())
     for name, fn in _SPARK_ONLY.items():
         reg[name] = (fn, None)
     return _sweep_ordered(reg)

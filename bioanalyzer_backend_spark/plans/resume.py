@@ -144,14 +144,20 @@ def _acquire_stage_lock(stage_path: str, timeout_s: float = 5.0) -> int:
             time.sleep(0.05)
 
 
-def _sweep_dead_stages(stage_root: str, keep: str) -> None:
+def _sweep_dead_stages(stage_root: str, keep: str,
+                       lockless_grace_s: float = 900.0) -> None:
     """Remove stage-* dirs whose owning run is DEAD — decided by probing
     each dir's ``.stage-<run_id>.lock`` dotfile sibling with a
     non-blocking flock: a live owner holds its lock (probe fails ->
     skip), a dead owner's lock was kernel-released (probe succeeds ->
     safe to delete). Dirs with no lock file at all (pre-liveness-lock
-    layouts) count as dead. ``keep`` is this run's own stage path,
-    always skipped.
+    layouts) count as dead ONLY once older than ``lockless_grace_s``
+    by mtime (round-4 advice): in a mixed-version deploy a LIVE run on
+    the pre-lock code version shares this stage_root with no lock to
+    probe, and sweeping its fresh dir would yank staged input mid-run.
+    The grace covers the staging-to-read window; pre-lock runs expected
+    to exceed it must not share a stage_root with post-lock runs.
+    ``keep`` is this run's own stage path, always skipped.
 
     Lock FILES are never unlinked — only the stage DIR is removed
     (CLAUDE.md's _commit_lock discipline): unlinking would re-open the
@@ -171,7 +177,12 @@ def _sweep_dead_stages(stage_root: str, keep: str) -> None:
             if os.path.exists(lock_path):
                 fd = os.open(lock_path, os.O_RDWR)
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            # lock acquired (or never existed): owner is dead
+            else:
+                # no lock to probe (pre-lock code version): only a dir
+                # past the grace window counts as dead
+                if time.time() - os.path.getmtime(stale) < lockless_grace_s:
+                    continue
+            # lock acquired (or lockless past grace): owner is dead
             shutil.rmtree(stale, ignore_errors=True)
         except OSError:
             continue   # lock held -> live sibling, leave it alone

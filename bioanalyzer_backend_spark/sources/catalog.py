@@ -198,6 +198,7 @@ class LocalSnapshotTable:
         failure path reclaims its orphan dir."""
         import shutil
 
+        last_exc: Exception | None = None
         for attempt in range(max_retries):
             parent = self._head_snapshot_id()
             batch_dir = None
@@ -206,20 +207,27 @@ class LocalSnapshotTable:
                 with self._commit_lock():
                     if self._head_snapshot_id() == parent:
                         return self._commit(new_files, parent, operation)
-            except Exception:
+            except Exception as exc:
                 if batch_dir is not None:
                     shutil.rmtree(batch_dir, ignore_errors=True)
                 if self._head_snapshot_id() == parent:
                     raise          # genuine failure, not a commit race
+                last_exc = exc     # HEAD moved — retry, but keep the cause
             else:
                 shutil.rmtree(batch_dir, ignore_errors=True)  # lost race
             # linear backoff desynchronizes contending writers (every
             # loser otherwise re-reads HEAD at the same instant and the
             # same writer can starve repeatedly)
             time.sleep(0.05 * (attempt + 1))
+        # Chain the last swallowed write-phase exception: a DETERMINISTIC
+        # failure (bad predicate, corrupt file) that kept coinciding with
+        # unrelated concurrent appends would otherwise surface as a bare
+        # contention error with the real cause invisible (round-4 advice).
         raise RuntimeError(
             f"{operation} lost the optimistic-commit race "
-            f"{max_retries} times; table under heavy write contention")
+            f"{max_retries} times; table under heavy write contention"
+            + (f" (last write-phase error: {last_exc})" if last_exc
+               else "")) from last_exc
 
     def merge_by_key(self, spark: SparkSession, src: DataFrame,
                      key: str) -> str:
@@ -422,8 +430,14 @@ class IdempotentBatchAppender:
             # after the mergeSchema read; they belong to namespace ''
             df = df.where(F.coalesce(F.col("_query_id"), F.lit(""))
                           == self._namespace())
-        elif self._namespace() != "":
-            return set()
+        # A table with NO _query_id column anywhere predates the
+        # namespace scheme entirely (single-query batch-id-only dedup).
+        # Seed its batch ids into THIS namespace as a one-time upgrade
+        # migration: a crash-restart of the same query straddling the
+        # code upgrade must not re-append batches the old incarnation
+        # committed (round-4 advice). New appends then write _query_id,
+        # so the legacy-wide seed applies only until the first
+        # post-upgrade checkpoint reset.
         return {r[0] for r in df.select("_batch_id").distinct().collect()}
 
     def append(self, batch_df: DataFrame, batch_id: int) -> bool:

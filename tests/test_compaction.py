@@ -155,6 +155,36 @@ def test_appender_scopes_dedup_by_query_id(spark, tmp_path):
         == {"q-1", "q-2"}
 
 
+def test_appender_seeds_from_legacy_table_without_query_id(spark, tmp_path):
+    """Upgrade-boundary migration (round-4 advice): a table written by
+    pre-namespace code has NO _query_id column anywhere. A crash-restart
+    of the SAME query straddling the code upgrade must not re-append
+    batches the old incarnation committed — the legacy batch ids seed
+    the new namespace once. Post-migration appends carry _query_id, so
+    a later checkpoint reset gets the normal per-namespace scoping."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bioanalyzer_backend_spark.sources.catalog import (
+        IdempotentBatchAppender, LocalSnapshotTable)
+
+    tbl = LocalSnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(3).toDF("v")
+    # legacy writer: batch-id column only, no namespace column
+    tbl.append(df.withColumn("_batch_id", F.lit(0)))
+    tbl.append(df.withColumn("_batch_id", F.lit(1)))
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(_json.dumps({"id": "q-1"}))
+    a = IdempotentBatchAppender(tbl, checkpoint_dir=str(ck))
+    assert a.append(df, 0) is False             # replay of legacy batch
+    assert a.append(df, 1) is False
+    assert a.append(df, 2) is True              # genuinely new batch
+    assert tbl.read(spark).count() == 9
+
+
 def test_open_table_rejects_uri_schemes(spark):
     import pytest as _pytest
 
@@ -182,6 +212,28 @@ def test_failed_rewrite_reclaims_orphan_dir(spark, tmp_path):
         # fails inside the Spark write phase with HEAD unchanged
         tbl.delete_where(spark, "no_such_column = 1")
     assert len(_os.listdir(tbl.data_dir)) == n_dirs   # no orphan dir
+
+
+def test_rewrite_exhaustion_chains_real_write_error(spark, tmp_path):
+    """A DETERMINISTIC write-phase failure that keeps coinciding with
+    concurrent HEAD movement must surface the real error, not a bare
+    'heavy write contention' (round-4 advice): the exhaustion
+    RuntimeError is raised ``from`` the last swallowed exception."""
+    import pytest as _pytest
+
+    from bioanalyzer_backend_spark.sources.catalog import LocalSnapshotTable
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.range(3).toDF("v"))
+
+    def df_fn():
+        # a concurrent appender moves HEAD, then this rewrite's own
+        # write phase fails deterministically
+        tbl.append(spark.range(1).toDF("v"))
+        raise ValueError("corrupt predicate")
+
+    with _pytest.raises(RuntimeError, match="corrupt predicate") as ei:
+        tbl._commit_rewrite(df_fn, "merge", max_retries=2)
+    assert isinstance(ei.value.__cause__, ValueError)
 
 
 def test_rewrite_retries_when_expire_reclaims_its_snapshot(spark, tmp_path):

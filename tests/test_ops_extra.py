@@ -511,10 +511,15 @@ def test_gopher_repetition_and_tfidf_semantics_duckdb():
 
 
 def test_audio_video_registry_entries(spark):
-    """The rows-only audio/video registry entries read the generate-once
-    parquet corpora and produce plausible, fully-populated frames:
-    compressed containers surface as error rows (audio) or are skipped
-    (video), decoded rows carry real features."""
+    """The audio/video registry entries read the generate-once parquet
+    corpora and produce plausible, fully-populated frames: compressed
+    containers surface as error rows (audio) or are skipped (video),
+    decoded rows carry real features. Since round 5 both entries are
+    DuckDB-oracled against generator ground-truth columns — this test
+    ALSO runs that oracle compare value-exactly, so a parser/sampler
+    regression fails here before the driver sweep sees it."""
+    import duckdb
+
     from bioanalyzer_backend_spark.plans.catalog_queries import registry
 
     reg = registry()
@@ -532,6 +537,52 @@ def test_audio_video_registry_entries(spark):
     assert (video["frame_idx"] % 4 == 0).all()
     assert (video["ts_s"] == video["frame_idx"] * 0.25).all()
     assert (video["n_bytes"] > 0).all()
+
+    con = duckdb.connect()
+    for name, got in (("audio_stats_multimodal", audio),
+                      ("video_frames_multimodal", video)):
+        oracle = con.execute(reg[name][1]).df()
+        cols = sorted(oracle.columns)
+        assert cols == sorted(got.columns), name
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        o = oracle[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, o, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_ops_dashboard_rollup(spark):
+    """Ops-dashboard rollup (log_dashboard.py:52-143 port): pins the
+    column set and the panel semantics — the '<all>' row aggregates the
+    whole stream, error counts/rate split on event_type='error', the
+    recent window anchors to MAX(ts), per-op rows partition the total."""
+    import duckdb
+
+    from bioanalyzer_backend_spark.plans.catalog_queries import (
+        DUCK, _q_ops_dashboard)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, "
+                "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+                "props VARCHAR)")
+    con.execute("""INSERT INTO events VALUES
+        (0, TIMESTAMP '2024-01-01 00:00:00', 1, 'view',  2.0, '{}'),
+        (1, TIMESTAMP '2024-01-01 05:00:00', 1, 'view',  4.0, '{}'),
+        (2, TIMESTAMP '2024-01-01 05:30:00', 2, 'error', 6.0, '{}'),
+        (3, TIMESTAMP '2024-01-01 06:00:00', 2, 'click', 8.0, '{}')""")
+    df = con.execute(_q_ops_dashboard(DUCK)).df().set_index("op")
+    assert list(df.columns) == ["n_events", "n_ok", "n_errors",
+                                "error_rate", "avg_v", "min_v", "max_v",
+                                "n_recent"]
+    assert set(df.index) == {"<all>", "view", "error", "click"}
+    al = df.loc["<all>"]
+    assert al["n_events"] == 4 and al["n_ok"] == 3 and al["n_errors"] == 1
+    assert al["error_rate"] == 0.25 and al["avg_v"] == 5.0
+    assert al["min_v"] == 2.0 and al["max_v"] == 8.0
+    # recent window = [max_ts - 1h, max_ts] -> events at 05:00/05:30/06:00
+    assert al["n_recent"] == 3
+    assert df.loc["view", "n_recent"] == 1          # only the 05:00 view
+    assert df.loc["error", "error_rate"] == 1.0
+    assert int(df.drop("<all>")["n_events"].sum()) == 4
 
 
 def test_minhash_cap_report_surfaces_dropped_buckets(spark):

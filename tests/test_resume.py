@@ -1,6 +1,8 @@
 """Checkpoint/resume semantics: kill mid-run, restart, byte-identical result
 (SURVEY.md section 5.5; cache_manager.py keyed-upsert semantics)."""
 
+import time
+
 import pytest
 
 from bioanalyzer_backend_spark.plans import resume
@@ -210,6 +212,28 @@ def test_stale_stage_dirs_swept_on_resume(spark, synth_images_df, tmp_path,
 
     run_with_resume(spark, df, res, aud, ck, n_groups=4)
     assert glob.glob(os.path.join(res.root, "stage-*")) == []
+
+
+def test_lockless_stage_dir_gets_mtime_grace(tmp_path):
+    """Mixed-version guard (round-4 advice): a stage dir with NO
+    liveness-lock sibling may belong to a LIVE run on pre-lock code —
+    it is only swept once older than the grace window; a fresh one is
+    left alone. Lock-bearing dirs keep pure flock-probe semantics."""
+    import os
+
+    from bioanalyzer_backend_spark.plans.resume import _sweep_dead_stages
+
+    root = str(tmp_path)
+    fresh = os.path.join(root, "stage-fresh")
+    old = os.path.join(root, "stage-old")
+    os.makedirs(fresh)
+    os.makedirs(old)
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+    _sweep_dead_stages(root, keep=os.path.join(root, "stage-self"),
+                       lockless_grace_s=900.0)
+    assert os.path.isdir(fresh)        # inside grace -> possibly live
+    assert not os.path.exists(old)     # past grace -> dead, swept
 
 
 def test_input_scanned_once_via_staging(spark, synth_images_df, tmp_path,

@@ -414,3 +414,74 @@ def test_null_text_matches_numpy_oracle():
     sc = (con.execute(sqlgen.scrub_sql(sqlgen.DUCK)).df()
           .sort_values("row_id").reset_index(drop=True))
     assert sc.loc[0, "scrubbed"] == ""
+
+
+# --------------------------------------------------------------------------
+# oracle-binding meta-tests (round-5 verdict item 6): a deliberately
+# mutated reference literal in the RENDERED SQL must be caught by the
+# numpy-twin value compare. Both dialects render from one spec constant,
+# so a spec-level mutation drifts both SQL sides together by design —
+# the numpy twin is the layer that binds, and these tests prove it does
+# (i.e. the compared columns actually carry the ported literals).
+# --------------------------------------------------------------------------
+
+def _duck_docs(rows):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    return con, con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+
+
+def test_mutated_fallback_literal_is_caught():
+    from bioanalyzer_backend_spark import sqlgen
+    con, docs = _duck_docs([(0, "human gut study"), (1, "nothing here")])
+    sql = sqlgen.field_fallback_sql(sqlgen.DUCK)
+    lit = spec.FALLBACK_FIELDS["condition"][1]   # the suggestions literal
+    assert sql.count(lit) == 1
+    exp = ri.field_fallback(docs["text"])
+    good = _duck_by_id(con, sql)
+    assert list(good["suggest_condition"]) == list(exp["suggest_condition"])
+    bad = _duck_by_id(con, sql.replace(lit, lit.upper()))
+    assert list(bad["suggest_condition"]) != list(exp["suggest_condition"])
+
+
+def test_mutated_domain_enum_is_caught():
+    from bioanalyzer_backend_spark import sqlgen
+    # 'hash' is an extracted-but-unmapped marker -> the 'Other' collapse
+    # arm fires; 'scan' maps into the enumeration -> pass-through arm.
+    con, docs = _duck_docs([(0, "hash partitioned rows"),
+                            (1, "scan the gut table")])
+    sql = sqlgen.domain_normalize_sql(sqlgen.DUCK)
+    exp = ri.domain_normalize(docs["text"])
+    good = _duck_by_id(con, sql)
+    assert list(good["seq_type"]) == list(exp["seq_type"])
+    bad = _duck_by_id(con, sql.replace("'Other'", "'other'"))
+    assert list(bad["seq_type"]) != list(exp["seq_type"])
+    bad2 = _duck_by_id(con, sql.replace("'16S rRNA'", "'16s rrna'"))
+    assert list(bad2["seq_type"]) != list(exp["seq_type"])
+
+
+def test_mutated_cache_search_order_is_caught():
+    """cache_search has no numpy twin; its binding layer is the Spark-vs-
+    DuckDB hash compare on a TOTAL order. Prove the compare is sensitive
+    to the newest-first semantics (cache_manager.py:409/:415): flipping
+    ts DESC to ASC in one dialect's rendering changes the LIMIT cut."""
+    import duckdb
+
+    from bioanalyzer_backend_spark.plans.catalog_queries import (DUCK,
+                                                                 _q_cache_search)
+    from .conftest import SF001
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{SF001}/{t}.parquet'")
+    sql = _q_cache_search(DUCK)
+    assert sql.count("ORDER BY ts_us DESC") == 1
+    good = con.execute(sql).df()
+    bad = con.execute(sql.replace("ORDER BY ts_us DESC",
+                                  "ORDER BY ts_us ASC")).df()
+    assert len(good) == len(bad)                 # same LIMIT ...
+    assert not good["hit_id"].equals(bad["hit_id"])   # ... different cut
