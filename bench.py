@@ -270,7 +270,11 @@ denominator independently: the 0.928 run's 2-core side was depressed
 (14.1k img/s vs 17.8k best observed), which inflates that ratio just as
 a depressed 8-core side deflated the 0.667 one. Pairing the best
 observed sides across all round-4 runs gives ~0.85; the honest central
-estimate on this shared box is ~0.80 with spread ~0.65-0.93. The table
+estimate on this shared box is ~0.80 with spread ~0.65-0.93. Round 5
+re-ran on a verified-idle box (load 0.1) with both sides healthy
+(18.4k / 62.1k img/s — neither side depressed): **0.844**, consistent
+with the ~0.85 best-sides estimate and clear of the 0.8 target without
+leaning on a lucky denominator. The table
 reports the latest single-invocation run; scaling runs are only
 meaningful when nothing else runs on the box (uptime load < 4) — this
 paragraph is part of the bench template so regeneration cannot drop
