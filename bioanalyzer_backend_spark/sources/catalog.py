@@ -435,9 +435,15 @@ class IdempotentBatchAppender:
         # Seed its batch ids into THIS namespace as a one-time upgrade
         # migration: a crash-restart of the same query straddling the
         # code upgrade must not re-append batches the old incarnation
-        # committed (round-4 advice). New appends then write _query_id,
-        # so the legacy-wide seed applies only until the first
-        # post-upgrade checkpoint reset.
+        # committed (round-4 advice). The legacy-wide seed applies until
+        # the first post-upgrade append introduces _query_id (mergeSchema
+        # then maps legacy rows to namespace '' above). Attribution of
+        # legacy rows is inherently ambiguous, so a CHECKPOINT RESET
+        # performed in the same window as the code upgrade must pair with
+        # a fresh/compacted results table — otherwise the new query's low
+        # batch ids collide with legacy ids and are skipped as replays
+        # (we bias toward no-duplicates; the reset+upgrade combination is
+        # the operator-documented exception).
         return {r[0] for r in df.select("_batch_id").distinct().collect()}
 
     def append(self, batch_df: DataFrame, batch_id: int) -> bool:
