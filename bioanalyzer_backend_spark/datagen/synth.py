@@ -3,8 +3,9 @@
 Produces the exact input shape from BASELINE.json input_hint:
   (image_id string, bytes binary, w int, h int, fmt string,
    caption string, phash long)
-plus a sidecar ``*_meta`` parquet with ground truth (true_lang, dup group)
-for tests — the pipeline itself never reads the sidecar.
+plus a sidecar ``*_meta`` parquet with ground truth (true_lang, dup
+group, and since g4 the gt_* columns for the image registry oracles) for
+tests and the DuckDB oracle side — the pipeline itself never reads it.
 
 Everything flows from one seeded numpy Generator; same (n_rows, seed,
 dims) -> byte-identical parquet content. No wall-clock, no external data.
@@ -180,6 +181,8 @@ def generate(n_rows: int, seed: int = 42, dims=(16, 32, 64),
 
     image_id, data, ws, hs, out_fmt, out_cap, out_ph = [], [], [], [], [], [], []
     out_lang, out_grp = [], []
+    out_px: list[np.ndarray] = []    # aligned pixel refs for the gt pass
+    out_ok: list[bool] = []          # decodable by declared fmt
     # phash shared within a dup group: hash of the group's FIRST pixels
     group_phash: dict[str, int] = {}
     for new_idx, old in enumerate(order):
@@ -191,6 +194,7 @@ def generate(n_rows: int, seed: int = 42, dims=(16, 32, 64),
             ph = group_phash.setdefault(grp, average_hash(px))
         else:
             ph = average_hash(px)
+        out_ok.append(fmt != "__mismatch__")
         if fmt == "__mismatch__":
             blob, fmt = encode_ppm(px), "bmp"      # declared bmp, actual ppm
         else:
@@ -204,6 +208,7 @@ def generate(n_rows: int, seed: int = 42, dims=(16, 32, 64),
         out_ph.append(ph)
         out_lang.append(langs[old])
         out_grp.append(grp)
+        out_px.append(px)
 
     table = {
         "image_id": image_id, "bytes": data,
@@ -212,7 +217,97 @@ def generate(n_rows: int, seed: int = 42, dims=(16, 32, 64),
         "phash": np.array(out_ph, dtype=np.int64),
     }
     meta = {"image_id": image_id, "true_lang": out_lang, "dup_group": out_grp}
+    meta.update(_image_gt_columns(image_id, out_px, out_ok, out_ph))
     return table, meta
+
+
+# What multimodal.image_stats reports for the declared-bmp/actual-ppm
+# mismatch edge row (imgcodec.decode_bmp's magic check). Pinned as a
+# literal so the oracle compare also binds on the operator's
+# "{type}: {msg}" error formatting.
+_MISMATCH_ERR = "ValueError: not a BMP"
+
+
+def _image_gt_columns(image_id: list[str], out_px: list[np.ndarray],
+                      out_ok: list[bool], out_ph: list[int],
+                      psnr_min: float = 40.0, max_group: int = 1024):
+    """g4 generator ground truth for the three image registry oracles
+    (image_stats / resize_thumbs / dup_pixel_verify), computed from the
+    SOURCE pixel arrays and generation knowledge — never by calling the
+    decoders under test. BMP/PPM are lossless, so a CORRECT
+    decode(encode(px)) returns px exactly and the operator's outputs
+    must match these values bit-for-bit; a codec/stats/psnr regression
+    diverges and fails the DuckDB compare.
+
+    ``psnr_min``/``max_group`` mirror multimodal.verify_dup_groups'
+    DEFAULTS (the registry entry uses defaults) — change them together.
+    Groups are keyed on the STAMPED phash column, exactly like the
+    operator's groupBy; the self-row/undecodable/shape-mismatch ladder
+    replicates multimodal.py:179-196, and the PSNR arithmetic replicates
+    imgcodec.psnr inline (independent copy: a regression there is caught
+    too)."""
+    from collections import defaultdict
+
+    n = len(image_id)
+    gt_ok, gt_err = [], []
+    gt_mr, gt_mg, gt_mb = [], [], []
+    gt_dw, gt_dh = [], []
+    for px, ok in zip(out_px, out_ok):
+        gt_ok.append(ok)
+        if ok:
+            m = px.reshape(-1, 3).mean(axis=0)
+            gt_err.append(None)
+            gt_mr.append(float(m[0]))
+            gt_mg.append(float(m[1]))
+            gt_mb.append(float(m[2]))
+            gt_dh.append(int(px.shape[0]))
+            gt_dw.append(int(px.shape[1]))
+        else:
+            gt_err.append(_MISMATCH_ERR)
+            gt_mr.append(None)
+            gt_mg.append(None)
+            gt_mb.append(None)
+            gt_dh.append(None)
+            gt_dw.append(None)
+
+    by_ph: dict[int, list[int]] = defaultdict(list)
+    for i, ph in enumerate(out_ph):
+        by_ph[ph].append(i)
+    gt_in = [False] * n
+    gt_canon: list[str | None] = [None] * n
+    gt_psnr: list[float | None] = [None] * n
+    gt_pd: list[bool | None] = [None] * n
+    for idxs in by_ph.values():
+        if not 1 < len(idxs) <= max_group:
+            continue
+        idxs = sorted(idxs, key=lambda i: image_id[i])
+        canon_i = idxs[0]
+        canon_px = out_px[canon_i] if out_ok[canon_i] else None
+        for j, i in enumerate(idxs):
+            gt_in[i] = True
+            gt_canon[i] = image_id[canon_i]
+            if j == 0:
+                # canonical verifies against itself only if decodable
+                gt_psnr[i] = float("inf") if canon_px is not None else None
+                gt_pd[i] = canon_px is not None
+            elif (not out_ok[i] or canon_px is None
+                    or out_px[i].shape != canon_px.shape):
+                gt_psnr[i] = None
+                gt_pd[i] = False
+            else:
+                mse = np.mean((canon_px.astype(np.float64)
+                               - out_px[i].astype(np.float64)) ** 2)
+                p = (float("inf") if mse == 0
+                     else float(10.0 * np.log10(255.0 ** 2 / mse)))
+                gt_psnr[i] = p
+                gt_pd[i] = bool(p >= psnr_min)
+    return {
+        "gt_ok": gt_ok, "gt_err": gt_err, "gt_mean_r": gt_mr,
+        "gt_mean_g": gt_mg, "gt_mean_b": gt_mb, "gt_decoded_w": gt_dw,
+        "gt_decoded_h": gt_dh, "gt_in_dup_group": gt_in,
+        "gt_canonical_id": gt_canon, "gt_psnr_db": gt_psnr,
+        "gt_pixel_dup": gt_pd,
+    }
 
 
 IMAGES_SCHEMA = pa.schema([
@@ -375,15 +470,18 @@ def write_images_parquet(out_dir: str, n_rows: int, seed: int = 42,
                          dims=(16, 32, 64), force: bool = False) -> str:
     """Generate-once cache keyed by EVERY generation parameter —
     (n_rows, seed, dims) — so two callers with different dims can never
-    silently serve each other the wrong corpus. The g2 tag is the
-    GENERATOR version (round 4: exact row counts + collision-free
-    cluster bases): bumping it retires stale v1 cache files by name
-    instead of deleting them (CLAUDE.md: .bench_cache regeneration is
-    slow; old files stay for any in-flight reader)."""
+    silently serve each other the wrong corpus. The g4 tag is the
+    GENERATOR version (g2 = round 4 exact row counts + collision-free
+    cluster bases; g4 = round 5 gt_* ground-truth columns in the meta
+    sidecar for the image registry oracles — the MAIN table bytes are
+    identical to g2, only the sidecar grew): bumping it retires stale
+    cache files by name instead of deleting them (CLAUDE.md:
+    .bench_cache regeneration is slow; old files stay for any in-flight
+    reader)."""
     os.makedirs(out_dir, exist_ok=True)
     dtag = "x".join(str(d) for d in dims)
     path = os.path.join(out_dir,
-                        f"images_n{n_rows}_s{seed}_d{dtag}_g2.parquet")
+                        f"images_n{n_rows}_s{seed}_d{dtag}_g4.parquet")
     meta_path = path.replace(".parquet", "_meta.parquet")
     if os.path.exists(path) and os.path.exists(meta_path) and not force:
         return path

@@ -1651,13 +1651,43 @@ def _q_simhash_pairs_wide_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: decode binary image column -> per-channel means + error
-    rows (mapInPandas, operators/multimodal.py)."""
+    rows (mapInPandas, operators/multimodal.py). DuckDB-oracled since
+    round 5 against the generator's gt_* meta columns (datagen/synth.py
+    g4) — value-exact incl. the fmt-mismatch error literal; BMP/PPM are
+    lossless, so a correct decode must reproduce the source pixel means
+    bit-for-bit."""
     from ..operators import multimodal
     return multimodal.image_stats(_synth_df(spark))
 
 
+def _images_meta_path() -> str:
+    """Generate-once image corpus meta sidecar (gt_* ground truth) for
+    the DuckDB side of the three image oracles. Generating here keeps
+    the oracle valid even if the driver runs DuckDB first."""
+    from ..datagen import synth
+    path = synth.write_images_parquet(_bench_cache_dir(), _SYNTH_ROWS)
+    return path.replace(".parquet", "_meta.parquet")
+
+
+def _image_stats_oracle() -> str:
+    """Ground-truth twin of _q_image_stats: the g4 gt_* columns renamed
+    to the operator's schema (synth._image_gt_columns computes them from
+    the source pixel arrays, never via the codecs under test)."""
+    return f"""
+SELECT image_id, gt_ok AS ok, gt_err AS err, gt_mean_r AS mean_r,
+       gt_mean_g AS mean_g, gt_mean_b AS mean_b,
+       CAST(gt_decoded_w AS INT) AS decoded_w,
+       CAST(gt_decoded_h AS INT) AS decoded_h
+FROM read_parquet('{_images_meta_path()}')
+"""
+
+
 def _q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: decode -> 8x8 thumbnail -> re-encode BMP (mapInPandas)."""
+    """Multimodal: decode -> 8x8 thumbnail -> re-encode BMP (mapInPandas).
+    DuckDB-oracled since round 5: the oracle derives the surviving row
+    set (decode failures dropped) from gt_ok and the thumb byte size
+    from the BMP size formula — the pixel-exact resize pytest stays the
+    content oracle."""
     from pyspark.sql import functions as F
 
     from ..operators import multimodal
@@ -1666,10 +1696,26 @@ def _q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("bytes").alias("n_bytes"))
 
 
+def _resize_thumbs_oracle() -> str:
+    """Ground-truth twin of _q_resize_thumbs: every decodable row yields
+    one 8x8 BMP thumb; n_bytes is the BMP size formula (54-byte header +
+    4-aligned rows), NOT a call to encode_bmp."""
+    return f"""
+SELECT image_id, CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, 'bmp' AS fmt,
+       CAST(54 + 8 * (3 * 8 + (4 - (3 * 8) % 4) % 4) AS INT) AS n_bytes
+FROM read_parquet('{_images_meta_path()}')
+WHERE gt_ok
+"""
+
+
 def _q_dup_pixel_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: pixel-level PSNR verification of phash
     dup groups vs min-id canonical (operators/multimodal.py). psnr_db is
-    finite-ized for the driver's hash (inf -> 999.0)."""
+    finite-ized for the driver's hash (inf -> 999.0). DuckDB-oracled
+    since round 5: the generator replays the group/canonical/PSNR ladder
+    on the SOURCE pixel arrays (synth._image_gt_columns — mirrors the
+    operator's psnr_min/max_group defaults), so a codec, grouping, or
+    psnr regression fails the compare."""
     from pyspark.sql import functions as F
 
     from ..operators import multimodal
@@ -1678,6 +1724,24 @@ def _q_dup_pixel_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round("psnr_db", 3))
     return out.select("phash", "image_id", "canonical_id",
                       fin.alias("psnr_db"), "pixel_dup")
+
+
+def _dup_pixel_verify_oracle() -> str:
+    """Ground-truth twin of _q_dup_pixel_verify: gt rows inside
+    multi-member phash groups, joined back to the main table for the
+    stamped phash, with the same inf->999 / ROUND(_,3) finalization
+    (both engines round positive halves identically)."""
+    meta = _images_meta_path()
+    main = meta.replace("_meta.parquet", ".parquet")
+    return f"""
+SELECT i.phash, m.image_id, m.gt_canonical_id AS canonical_id,
+       CASE WHEN isinf(m.gt_psnr_db) THEN 999.0
+            ELSE ROUND(m.gt_psnr_db, 3) END AS psnr_db,
+       m.gt_pixel_dup AS pixel_dup
+FROM read_parquet('{meta}') m
+JOIN read_parquet('{main}') i USING (image_id)
+WHERE m.gt_in_dup_group
+"""
 
 
 _SYNTH_AV_ROWS = 600
@@ -1794,9 +1858,6 @@ _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_udf_documents": _q_langid_udf_documents,
     "ann_lsh_top10": _q_ann_lsh_top10,
     "ann_ivf_top10": _q_ann_ivf_top10,
-    "image_stats_multimodal": _q_image_stats,
-    "resize_thumbs_multimodal": _q_resize_thumbs,
-    "dup_pixel_verify_images": _q_dup_pixel_verify,
 }
 
 
@@ -1933,10 +1994,13 @@ def _mk_spark_fn_mat_tf(builder: Callable[..., str]):
 # this list keep their builder-dict insertion order at the end.
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new or re-oracled in round 5 (ops dashboard port; audio/video
-    # gained ground-truth DuckDB oracles) ---
+    # and the three image entries gained ground-truth DuckDB oracles) ---
     "ops_dashboard_events",
     "audio_stats_multimodal",
     "video_frames_multimodal",
+    "image_stats_multimodal",
+    "resize_thumbs_multimodal",
+    "dup_pixel_verify_images",
     # --- newest driver record is r3 (missed the 50-entry r4 cut) ---
     "qf_core_documents",
     "qf_scrub_documents",
@@ -1965,9 +2029,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "langid_udf_documents",
     "ann_lsh_top10",
     "ann_ivf_top10",
-    "image_stats_multimodal",
-    "resize_thumbs_multimodal",
-    "dup_pixel_verify_images",
     # --- r4-recorded, rotated below the stale set ---
     "field_fallback_documents",
     "domain_normalize_documents",
@@ -2076,6 +2137,14 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["audio_stats_multimodal"] = (_q_audio_stats, _audio_stats_oracle())
     reg["video_frames_multimodal"] = (_q_video_frames,
                                       _video_frames_oracle())
+    # Multimodal image entries vs generator ground truth (g4 meta
+    # sidecar): stats / thumbnail / pixel-PSNR verification become
+    # driver-oracled instead of rows-only.
+    reg["image_stats_multimodal"] = (_q_image_stats, _image_stats_oracle())
+    reg["resize_thumbs_multimodal"] = (_q_resize_thumbs,
+                                       _resize_thumbs_oracle())
+    reg["dup_pixel_verify_images"] = (_q_dup_pixel_verify,
+                                      _dup_pixel_verify_oracle())
     for name, fn in _SPARK_ONLY.items():
         reg[name] = (fn, None)
     return _sweep_ordered(reg)

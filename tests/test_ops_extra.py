@@ -550,6 +550,44 @@ def test_audio_video_registry_entries(spark):
                                       check_exact=True)
 
 
+def test_image_registry_oracle_compare(spark):
+    """Since round 5 the three image registry entries (stats / thumbs /
+    pixel-PSNR dup verify) are DuckDB-oracled against the g4 generator
+    ground-truth meta columns (synth._image_gt_columns). This runs the
+    driver's compare value-exactly so a codec/stats/psnr regression
+    fails here before the sweep sees it; the fmt-mismatch edge row must
+    surface as an error row in stats, be dropped from thumbs, and score
+    psnr NULL / pixel_dup false inside its phash group."""
+    import duckdb
+
+    from bioanalyzer_backend_spark.plans.catalog_queries import registry
+
+    reg = registry()
+    con = duckdb.connect()
+    frames = {}
+    for name in ("image_stats_multimodal", "resize_thumbs_multimodal",
+                 "dup_pixel_verify_images"):
+        got = reg[name][0](spark, "unused").toPandas()
+        frames[name] = got
+        oracle = con.execute(reg[name][1]).df()
+        cols = sorted(oracle.columns)
+        assert cols == sorted(got.columns), name
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        o = oracle[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, o, check_dtype=False,
+                                      check_exact=True)
+    stats = frames["image_stats_multimodal"]
+    assert (~stats["ok"]).sum() == 1                    # mismatch edge row
+    bad_id = stats.loc[~stats["ok"], "image_id"].iloc[0]
+    assert stats.loc[~stats["ok"], "err"].iloc[0] == "ValueError: not a BMP"
+    assert bad_id not in set(frames["resize_thumbs_multimodal"]["image_id"])
+    dup = frames["dup_pixel_verify_images"]
+    bad_dup = dup[dup["image_id"] == bad_id]
+    assert len(bad_dup) == 1                            # pxa group member
+    assert bad_dup["psnr_db"].isna().all()
+    assert not bad_dup["pixel_dup"].any()
+
+
 def test_ops_dashboard_rollup(spark):
     """Ops-dashboard rollup (log_dashboard.py:52-143 port): pins the
     column set and the panel semantics — the '<all>' row aggregates the
