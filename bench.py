@@ -274,11 +274,14 @@ estimate on this shared box is ~0.80 with spread ~0.65-0.93. Round 5
 re-ran on a verified-idle box (load 0.1) with both sides healthy
 (18.4k / 62.1k img/s — neither side depressed): **0.844**, consistent
 with the ~0.85 best-sides estimate and clear of the 0.8 target without
-leaning on a lucky denominator. The table
-reports the latest single-invocation run; scaling runs are only
-meaningful when nothing else runs on the box (uptime load < 4) — this
-paragraph is part of the bench template so regeneration cannot drop
-it.
+leaning on a lucky denominator. Two further round-5 idle-start re-runs
+landed inside the documented spread: 0.914 with a depressed 2-core side
+(13.7k — inflated ratio, discounted like the 0.928 one) and 0.801 with
+both sides mildly depressed (15.1k / 48.2k). The table keeps the run
+whose per-side rates are healthy (within ~10% of best observed per
+side); scaling runs are only meaningful when nothing else runs on the
+box (uptime load < 4) — this paragraph is part of the bench template so
+regeneration cannot drop it.
 
 ## Micro-bench: vectorized 64-bit SimHash UDF
 
