@@ -2,9 +2,12 @@
 
 Each SQL-expressible entry is ONE builder rendered to both dialects by
 sqlgen, so the Spark plan and its DuckDB oracle cannot drift. Entries whose
-semantics need model artifacts (langid, perplexity) or binary columns
-(phash dedup on images) are Spark-only callables (driver rows-only check);
-their correctness gate is the numpy oracle in tests/.
+semantics need model artifacts or binary columns are oracled against
+precomputed ground truth instead (generator gt_* columns for the
+multimodal entries, the numpy-reference expected-label table for the
+flagship); only the three approximate/UDF surfaces without a meaningful
+SQL twin stay Spark-only rows-checked (each with an oracled exact-mode
+twin), their correctness gate the numpy oracle in tests/.
 
 Registry contract (consumed by __spark_entry__):
     REGISTRY[name] = (spark_fn(spark, sf_dir) -> DataFrame, duck_sql | None)
@@ -1744,6 +1747,79 @@ WHERE m.gt_in_dup_group
 """
 
 
+def _qf_full_expected_path() -> str:
+    """Numpy-reference expected-label table for the flagship oracle,
+    written once beside the generate-once corpus (_qfexp_v1 — bump the
+    suffix if any rule/spec constant or model artifact changes, like the
+    g2/g3/g4 corpus tags).
+
+    The rule battery / scrub / dedup columns come from
+    rules/reference_impl (the INDEPENDENT numpy implementation — the
+    same binding layer the qf_core/qf_scrub oracles and the
+    test_rules_units mutation meta-tests prove out); lang/lang_conf/ppl
+    come from the same numpy scorers the fused gate UDF wraps, so for
+    those three columns the compare pins the distribution plumbing
+    (caption truncation, Arrow transfer, fused-gate wiring, final-keep
+    composition) rather than model independence — the models' own
+    oracles are the analytic pytest gates (tests/test_langid_ppl.py).
+    Same accounting as the north-rule pytest (test_pipeline_oracle)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..datagen import synth
+    from ..functions import langid, perplexity
+    from ..rules import reference_impl as ri
+    from . import pipeline as P
+
+    imgs_path = synth.write_images_parquet(_bench_cache_dir(), _SYNTH_ROWS)
+    path = imgs_path.replace(".parquet", "_qfexp_v1.parquet")
+    if os.path.exists(path):
+        return path
+    art = P.ensure_artifacts()
+    imgs = pq.read_table(
+        imgs_path, columns=["image_id", "caption", "phash"]).to_pandas()
+    exp = ri.expected_labels(imgs)
+    # mirror apply_langid_ppl's pre-UDF truncation (spec.TRUNCATE_CHARS)
+    texts = [c[:spec.TRUNCATE_CHARS] for c in imgs["caption"].fillna("")]
+    logp, langs = langid.load_model(os.path.join(art, "langid.npz"))
+    lang, conf = langid.predict_batch(texts, logp, langs)
+    lm = perplexity.load_model(os.path.join(art, "lm.npz"))
+    ppl = perplexity.ppl_batch(texts, lm)
+    keep_core = exp["keep"].to_numpy(dtype=bool)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({
+        "image_id": exp["image_id"].tolist(),
+        "lang": list(lang),
+        "lang_conf": np.asarray(conf, dtype=np.float64),
+        "ppl": np.asarray(ppl, dtype=np.float64),
+        "quality_score": exp["quality_score"].to_numpy(dtype=np.float64),
+        "n_present": exp["n_present"].to_numpy(dtype=np.int32),
+        "keep_core": keep_core,
+        "keep": keep_core & (lang != langid.UNKNOWN) & (ppl <= spec.PPL_MAX),
+        "is_dup": exp["is_dup"].to_numpy(dtype=bool),
+        "scrubbed_caption": exp["scrubbed_caption"].tolist(),
+    }), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def _qf_full_images_oracle() -> str:
+    """Oracle twin of _q_full_pipeline_images: the numpy-reference
+    expected-label parquet, column-for-column. Verified bit-for-bit
+    exact on every column (incl. lang_conf/ppl doubles — the scorers are
+    per-row batch-size-independent) before registration; the ppl gate's
+    nearest caption sits 0.55 from PPL_MAX on this corpus, so no
+    float-boundary flip risk."""
+    return f"""
+SELECT image_id, lang, lang_conf, ppl, quality_score, n_present,
+       keep_core, keep, is_dup, scrubbed_caption
+FROM read_parquet('{_qf_full_expected_path()}')
+"""
+
+
 _SYNTH_AV_ROWS = 600
 
 
@@ -1854,7 +1930,6 @@ def _q_keep_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "qf_full_images": _q_full_pipeline_images,
     "langid_udf_documents": _q_langid_udf_documents,
     "ann_lsh_top10": _q_ann_lsh_top10,
     "ann_ivf_top10": _q_ann_ivf_top10,
@@ -1995,6 +2070,7 @@ def _mk_spark_fn_mat_tf(builder: Callable[..., str]):
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new or re-oracled in round 5 (ops dashboard port; audio/video
     # and the three image entries gained ground-truth DuckDB oracles) ---
+    "qf_full_images",
     "ops_dashboard_events",
     "audio_stats_multimodal",
     "video_frames_multimodal",
@@ -2025,7 +2101,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "events_summary",
     "ann_lsh_exact_top10",
     "ann_ivf_exact_top10",
-    "qf_full_images",
     "langid_udf_documents",
     "ann_lsh_top10",
     "ann_ivf_top10",
@@ -2145,6 +2220,12 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
                                        _resize_thumbs_oracle())
     reg["dup_pixel_verify_images"] = (_q_dup_pixel_verify,
                                       _dup_pixel_verify_oracle())
+    # Flagship vs the numpy-reference expected-label table: keep/drop,
+    # scrub, dedup, scores AND the langid/ppl gate composition become
+    # driver-oracled value-exactly (see _qf_full_expected_path docstring
+    # for what each column's compare does and does not bind).
+    reg["qf_full_images"] = (_q_full_pipeline_images,
+                             _qf_full_images_oracle())
     for name, fn in _SPARK_ONLY.items():
         reg[name] = (fn, None)
     return _sweep_ordered(reg)
