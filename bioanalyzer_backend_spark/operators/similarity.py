@@ -151,8 +151,17 @@ def ivf_train_centroids(df: DataFrame, n_centroids: int = 16,
         raise ValueError(
             "ivf_train_centroids: ragged embedding lengths in the "
             f"training sample: {sorted({v.shape for v in vecs})}")
-    mat = np.asarray(vecs)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return _kmeans_core(np.asarray(vecs), n_centroids, iters, seed)
+
+
+def _kmeans_core(mat: np.ndarray, n_centroids: int, iters: int,
+                 seed: int) -> np.ndarray:
+    """Pure-numpy spherical k-means (the quantizer itself — shared by the
+    Spark trainer above and the registry's numpy oracle twin, the same
+    way spec constants are shared; what the twin re-implements
+    independently is everything downstream: assignment, probing,
+    re-rank)."""
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     # fewer sample rows than requested centroids: train what the data
     # supports (rng.choice(replace=False) would raise an opaque
     # 'larger sample than population'); every vector becomes a seed

@@ -5,9 +5,10 @@ sqlgen, so the Spark plan and its DuckDB oracle cannot drift. Entries whose
 semantics need model artifacts or binary columns are oracled against
 precomputed ground truth instead (generator gt_* columns for the
 multimodal entries, the numpy-reference expected-label table for the
-flagship); only the three approximate/UDF surfaces without a meaningful
-SQL twin stay Spark-only rows-checked (each with an oracled exact-mode
-twin), their correctness gate the numpy oracle in tests/.
+flagship, numpy-twin expected tables for the standalone langid UDF and
+the approximate ANN paths) — since round 5 every entry carries an
+oracle; the analytic numpy/pytest oracles in tests/ stay as the
+independent gate for the UDF surfaces.
 
 Registry contract (consumed by __spark_entry__):
     REGISTRY[name] = (spark_fn(spark, sf_dir) -> DataFrame, duck_sql | None)
@@ -17,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import session as _session
@@ -1432,8 +1434,9 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
 
 
 # --------------------------------------------------------------------------
-# Spark-only (UDF / binary-column) queries — rows-only driver check;
-# real correctness gate = numpy oracle in tests/.
+# UDF / binary-column queries — driver-oracled against precomputed
+# ground truth (generator gt_* columns or numpy-twin expected tables);
+# the analytic pytest oracles in tests/ remain the independent gate.
 # --------------------------------------------------------------------------
 
 _SYNTH_ROWS = 2000
@@ -1482,29 +1485,196 @@ def _q_langid_udf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-LSH bucketed cosine top-10 (query = vec_id 0).
     Probes only buckets within Hamming radius 4 of the query signature,
-    exact cosine re-rank on survivors (operators/similarity.py)."""
+    exact cosine re-rank on survivors (operators/similarity.py).
+    DuckDB-oracled since round 5 against a numpy twin that shares only
+    the hyperplane matrix and re-implements probe + re-rank
+    (_ann_lsh_expected_path); output uses the same rounded-rerank
+    convention as the exact-mode entries (k-boundary rounding ties)."""
     from pyspark.sql import functions as F
 
     from ..operators import similarity
     register_testdata_views(spark, sf_dir)
     emb = spark.table("embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return similarity.lsh_cosine_topk(
-        emb.where("vec_id != 0"), q, k=10, n_planes=16, hamming_radius=4)
+    scored = similarity.lsh_cosine_topk(
+        emb.where("vec_id != 0"), q, k=1 << 30,
+        n_planes=16, hamming_radius=4)
+    return _ann_exact_rerank(scored)
 
 
 def _q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path (b): IVF — sample-trained coarse quantizer, probe
     the 4 nearest of 16 centroid lists, exact cosine re-rank on survivors
-    (operators/similarity.py ivf_cosine_topk)."""
+    (operators/similarity.py ivf_cosine_topk). DuckDB-oracled since
+    round 5 against a numpy twin that shares only the quantizer and
+    re-implements assignment + probe + re-rank (_ann_ivf_expected_path);
+    rounded-rerank output convention like the exact-mode entries."""
     from pyspark.sql import functions as F
 
     from ..operators import similarity
     register_testdata_views(spark, sf_dir)
     emb = spark.table("embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return similarity.ivf_cosine_topk(
-        emb.where("vec_id != 0"), q, k=10, n_centroids=16, n_probe=4)
+    scored = similarity.ivf_cosine_topk(
+        emb.where("vec_id != 0"), q, k=1 << 30, n_centroids=16, n_probe=4)
+    return _ann_exact_rerank(scored)
+
+
+def _parity_sf_dir() -> str:
+    """The sf dir the driver's DuckDB oracle side runs against. The
+    driver contract fixes sf0.01; the deeper dev sweep overrides via
+    SPARK_GRAFT_PARITY_SF_DIR (scripts_dev_parity.py reads the same
+    variable, so the Spark and oracle sides always agree)."""
+    import os
+    return os.environ.get("SPARK_GRAFT_PARITY_SF_DIR",
+                          "/root/testdata/sf0.01")
+
+
+def _expected_cache(name: str) -> tuple[str, bool]:
+    """(path, exists) for a numpy-twin expected table, keyed by the
+    parity sf dir so the sf0.01 driver gate and the sf0.1 dev sweep
+    never read each other's values."""
+    import os
+    sf_tag = os.path.basename(os.path.normpath(_parity_sf_dir()))
+    path = os.path.join(_bench_cache_dir(),
+                        f"expected_{name}_{sf_tag}_v1.parquet")
+    return path, os.path.exists(path)
+
+
+def _load_embeddings_np():
+    """(vec_ids int64, mat float64 (n, dim)) from the parity-dir
+    embeddings parquet, float32-exact-widened like Arrow->Python->Spark."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_parity_sf_dir() + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    rows = t.column("embedding").to_pylist()
+    mat = np.asarray(rows, dtype=np.float64)
+    return ids, mat
+
+
+def _ann_rounded_topk_np(ids: np.ndarray, mat: np.ndarray, q: np.ndarray,
+                         keep: np.ndarray) -> "pd.DataFrame":
+    """Numpy re-implementation of the rounded-rerank convention
+    (_ann_exact_rerank): exact cosine on the candidate mask, ROUND(_, 5),
+    ORDER BY cos DESC, vec_id LIMIT 10."""
+    import pandas as pd
+
+    # qlit round-trips through CAST(x AS FLOAT) in cosine_topk's literal
+    qf = q.astype(np.float32).astype(np.float64)
+    qn = float(np.sqrt(np.dot(q.tolist(), q.tolist())))
+    dp = mat[keep] @ qf
+    nn = np.einsum("ij,ij->i", mat[keep], mat[keep])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(nn > 0.0, dp / (np.sqrt(nn) * qn), np.nan)
+    out = pd.DataFrame({"vec_id": ids[keep],
+                        "cos_sim": np.round(cos, 5)})
+    out = out.dropna(subset=["cos_sim"])          # NULLIF zero-norm guard
+    out = out.sort_values(["cos_sim", "vec_id"],
+                          ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+def _write_expected(path: str, pdf) -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+
+
+def _ann_lsh_expected_path() -> str:
+    """Numpy twin of _q_ann_lsh_top10: shares only the hyperplane matrix
+    (similarity._planes — an algorithm parameter, like spec constants)
+    and re-implements signature packing, the Hamming-radius probe, the
+    cosine, and the rounded re-rank independently of the Spark plan
+    (pandas-UDF matmul + bit_count + HOF fold + TakeOrdered). A weight
+    regression, int wrap, radius off-by-one, or NULLIF loss diverges."""
+    from ..operators import similarity
+
+    path, ok = _expected_cache("ann_lsh")
+    if ok:
+        return path
+    ids, mat = _load_embeddings_np()
+    q = mat[ids == 0][0]
+    planes = similarity._planes(mat.shape[1], 16, seed=97)
+    bits = (mat @ planes) > 0
+    weights = (1 << np.arange(16)).astype(np.int64)
+    sigs = bits @ weights
+    qbits = int(((q @ planes) > 0) @ weights)
+    hamming = np.array([bin(int(s) ^ qbits).count("1") for s in sigs])
+    keep = (ids != 0) & (hamming <= 4)
+    _write_expected(path, _ann_rounded_topk_np(ids, mat, q, keep))
+    return path
+
+
+def _ann_ivf_expected_path() -> str:
+    """Numpy twin of _q_ann_ivf_top10: shares the quantizer
+    (similarity._kmeans_core on the identically-constructed id-ordered
+    sample) and re-implements list assignment, probe selection, and the
+    rounded re-rank. An assignment bug, probe off-by-one, or candidate
+    filter regression diverges."""
+    from ..operators import similarity
+
+    path, ok = _expected_cache("ann_ivf")
+    if ok:
+        return path
+    ids, mat = _load_embeddings_np()
+    q = mat[ids == 0][0]
+    rest = ids != 0
+    order = np.argsort(ids[rest], kind="stable")
+    sample = mat[rest][order][:2048]
+    cent = similarity._kmeans_core(sample, 16, iters=10, seed=131)
+    norm = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    assign = (norm @ cent.T).argmax(axis=1)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = set(np.argsort(-(cent @ qn))[:4].tolist())
+    keep = rest & np.isin(assign, list(probe))
+    _write_expected(path, _ann_rounded_topk_np(ids, mat, q, keep))
+    return path
+
+
+def _langid_udf_expected_path() -> str:
+    """Numpy twin of _q_langid_udf_documents: the same numpy scorers the
+    standalone UDFs wrap, run driver-side over the parity-dir documents
+    table with the pipeline's truncation — like the flagship's lang/ppl
+    columns, this compare pins the distribution plumbing (truncation,
+    NULL fill, Arrow transfer, per-batch invariance); the models' own
+    oracles are the analytic pytest gates."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..functions import langid, perplexity
+    from . import pipeline as P
+
+    path, ok = _expected_cache("langid_udf")
+    if ok:
+        return path
+    art = P.ensure_artifacts()
+    t = pq.read_table(_parity_sf_dir() + "/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    texts = [x[:spec.TRUNCATE_CHARS] for x in t["text"].fillna("")]
+    logp, langs = langid.load_model(os.path.join(art, "langid.npz"))
+    lang, conf = langid.predict_batch(texts, logp, langs)
+    lm = perplexity.load_model(os.path.join(art, "lm.npz"))
+    ppl = perplexity.ppl_batch(texts, lm)
+    _write_expected(path, pd.DataFrame({
+        "doc_id": t["doc_id"].to_numpy(),
+        "lang": list(lang),
+        "lang_conf": np.asarray(conf, dtype=np.float64),
+        "ppl": np.asarray(ppl, dtype=np.float64)}))
+    return path
+
+
+def _read_expected_sql(builder) -> str:
+    return f"SELECT * FROM read_parquet('{builder()}')"
 
 
 def _ann_exact_rerank(scored: DataFrame) -> DataFrame:
@@ -1929,11 +2099,10 @@ def _q_keep_by_lang_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("sum_present").cast("long"))
 
 
-_SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "langid_udf_documents": _q_langid_udf_documents,
-    "ann_lsh_top10": _q_ann_lsh_top10,
-    "ann_ivf_top10": _q_ann_ivf_top10,
-}
+# No Spark-only rows-checked entries remain: every registry entry now
+# carries a DuckDB-checkable oracle (SQL twin, generator ground truth,
+# or numpy-twin expected table).
+_SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 # --------------------------------------------------------------------------
@@ -2069,8 +2238,14 @@ def _mk_spark_fn_mat_tf(builder: Callable[..., str]):
 # this list keep their builder-dict insertion order at the end.
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new or re-oracled in round 5 (ops dashboard port; audio/video
-    # and the three image entries gained ground-truth DuckDB oracles) ---
+    # and the three image entries gained ground-truth DuckDB oracles;
+    # the flagship, the standalone langid UDF and the two approximate
+    # ANN paths gained numpy-twin expected-table oracles — zero
+    # rows-only entries remain) ---
     "qf_full_images",
+    "langid_udf_documents",
+    "ann_lsh_top10",
+    "ann_ivf_top10",
     "ops_dashboard_events",
     "audio_stats_multimodal",
     "video_frames_multimodal",
@@ -2101,9 +2276,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "events_summary",
     "ann_lsh_exact_top10",
     "ann_ivf_exact_top10",
-    "langid_udf_documents",
-    "ann_lsh_top10",
-    "ann_ivf_top10",
     # --- r4-recorded, rotated below the stale set ---
     "field_fallback_documents",
     "domain_normalize_documents",
@@ -2226,6 +2398,18 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     # for what each column's compare does and does not bind).
     reg["qf_full_images"] = (_q_full_pipeline_images,
                              _qf_full_images_oracle())
+    # The last three former rows-only entries, oracled via numpy-twin
+    # expected tables (round 5): standalone langid/ppl UDFs and the two
+    # APPROXIMATE ANN paths (their exact-mode twins above remain — the
+    # approx entries now get their own value-hash gate instead of a
+    # rows-only count).
+    reg["langid_udf_documents"] = (_q_langid_udf_documents,
+                                   _read_expected_sql(
+                                       _langid_udf_expected_path))
+    reg["ann_lsh_top10"] = (_q_ann_lsh_top10,
+                            _read_expected_sql(_ann_lsh_expected_path))
+    reg["ann_ivf_top10"] = (_q_ann_ivf_top10,
+                            _read_expected_sql(_ann_ivf_expected_path))
     for name, fn in _SPARK_ONLY.items():
         reg[name] = (fn, None)
     return _sweep_ordered(reg)

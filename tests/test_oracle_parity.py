@@ -42,9 +42,13 @@ def test_sql_parity(spark, duck, name, spark_fn, duck_sql):
                                   check_exact=True)
 
 
-@pytest.mark.parametrize("name,spark_fn", _ROWS_ONLY,
-                         ids=[c[0] for c in _ROWS_ONLY])
-def test_rows_only_runs(spark, name, spark_fn):
-    df = spark_fn(spark, SF01)
-    assert df.count() > 0
-    assert len(df.schema.fields) > 0
+# Empty since round 5 (every entry is oracled); kept for any future
+# rows-only entry — an empty parametrize list would otherwise collect
+# as a permanent skip.
+if _ROWS_ONLY:
+    @pytest.mark.parametrize("name,spark_fn", _ROWS_ONLY,
+                             ids=[c[0] for c in _ROWS_ONLY])
+    def test_rows_only_runs(spark, name, spark_fn):
+        df = spark_fn(spark, SF01)
+        assert df.count() > 0
+        assert len(df.schema.fields) > 0
