@@ -1558,7 +1558,16 @@ def _ann_rounded_topk_np(ids: np.ndarray, mat: np.ndarray, q: np.ndarray,
                          keep: np.ndarray) -> "pd.DataFrame":
     """Numpy re-implementation of the rounded-rerank convention
     (_ann_exact_rerank): exact cosine on the candidate mask, ROUND(_, 5),
-    ORDER BY cos DESC, vec_id LIMIT 10."""
+    ORDER BY cos DESC, vec_id LIMIT 10.
+
+    Float caveats (latent, not observed on any tested corpus): numpy
+    rounds half-even while Spark ROUND is HALF_UP — an exact 5-decimal
+    half-tie would diverge, but cosines of real-valued data land on
+    exact half-ties with probability ~0; and the unrounded cosine sums
+    in BLAS order vs Spark's left fold, so only values within ~1e-11 of
+    a rounding boundary could differ post-round. The +0.0 below
+    normalizes numpy's -0.0 (for cosines in (-5e-6, 0)) to the +0.0
+    Spark's BigDecimal ROUND emits."""
     import pandas as pd
 
     # qlit round-trips through CAST(x AS FLOAT) in cosine_topk's literal
@@ -1569,11 +1578,46 @@ def _ann_rounded_topk_np(ids: np.ndarray, mat: np.ndarray, q: np.ndarray,
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = np.where(nn > 0.0, dp / (np.sqrt(nn) * qn), np.nan)
     out = pd.DataFrame({"vec_id": ids[keep],
-                        "cos_sim": np.round(cos, 5)})
+                        "cos_sim": np.round(cos, 5) + 0.0})
     out = out.dropna(subset=["cos_sim"])          # NULLIF zero-norm guard
     out = out.sort_values(["cos_sim", "vec_id"],
                           ascending=[False, True]).head(10)
     return out.reset_index(drop=True)
+
+
+def _lsh_candidate_mask(ids: np.ndarray, mat: np.ndarray, q: np.ndarray,
+                        radius: int) -> np.ndarray:
+    """The LSH twin's candidate set: signature packing + Hamming-radius
+    probe, independent of the Spark plan. Parameterized on radius so the
+    binding tests (tests/test_gt_oracle_binding.py) exercise THIS code
+    at perturbed radii rather than a private copy."""
+    from ..operators import similarity
+
+    planes = similarity._planes(mat.shape[1], 16, seed=97)
+    weights = (1 << np.arange(16)).astype(np.int64)
+    sigs = ((mat @ planes) > 0) @ weights
+    qbits = int(((q @ planes) > 0) @ weights)
+    hamming = np.array([bin(int(s) ^ qbits).count("1") for s in sigs])
+    return (ids != 0) & (hamming <= radius)
+
+
+def _ivf_candidate_mask(ids: np.ndarray, mat: np.ndarray, q: np.ndarray,
+                        n_probe: int) -> np.ndarray:
+    """The IVF twin's candidate set: identically-constructed id-ordered
+    training sample -> shared quantizer -> independent assignment and
+    probe selection. Parameterized on n_probe for the binding tests."""
+    from ..operators import similarity
+
+    rest = ids != 0
+    order = np.argsort(ids[rest], kind="stable")
+    sample = mat[rest][order][:2048]
+    cent = similarity._kmeans_core(sample, 16, iters=10, seed=131)
+    norm = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    assign = (norm @ cent.T).argmax(axis=1)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = set(np.argsort(-(cent @ qn))[:n_probe].tolist())
+    return rest & np.isin(assign, list(probe))
 
 
 def _write_expected(path: str, pdf) -> None:
@@ -1594,20 +1638,12 @@ def _ann_lsh_expected_path() -> str:
     cosine, and the rounded re-rank independently of the Spark plan
     (pandas-UDF matmul + bit_count + HOF fold + TakeOrdered). A weight
     regression, int wrap, radius off-by-one, or NULLIF loss diverges."""
-    from ..operators import similarity
-
     path, ok = _expected_cache("ann_lsh")
     if ok:
         return path
     ids, mat = _load_embeddings_np()
     q = mat[ids == 0][0]
-    planes = similarity._planes(mat.shape[1], 16, seed=97)
-    bits = (mat @ planes) > 0
-    weights = (1 << np.arange(16)).astype(np.int64)
-    sigs = bits @ weights
-    qbits = int(((q @ planes) > 0) @ weights)
-    hamming = np.array([bin(int(s) ^ qbits).count("1") for s in sigs])
-    keep = (ids != 0) & (hamming <= 4)
+    keep = _lsh_candidate_mask(ids, mat, q, radius=4)
     _write_expected(path, _ann_rounded_topk_np(ids, mat, q, keep))
     return path
 
@@ -1618,23 +1654,12 @@ def _ann_ivf_expected_path() -> str:
     sample) and re-implements list assignment, probe selection, and the
     rounded re-rank. An assignment bug, probe off-by-one, or candidate
     filter regression diverges."""
-    from ..operators import similarity
-
     path, ok = _expected_cache("ann_ivf")
     if ok:
         return path
     ids, mat = _load_embeddings_np()
     q = mat[ids == 0][0]
-    rest = ids != 0
-    order = np.argsort(ids[rest], kind="stable")
-    sample = mat[rest][order][:2048]
-    cent = similarity._kmeans_core(sample, 16, iters=10, seed=131)
-    norm = mat / np.maximum(
-        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    assign = (norm @ cent.T).argmax(axis=1)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    probe = set(np.argsort(-(cent @ qn))[:4].tolist())
-    keep = rest & np.isin(assign, list(probe))
+    keep = _ivf_candidate_mask(ids, mat, q, n_probe=4)
     _write_expected(path, _ann_rounded_topk_np(ids, mat, q, keep))
     return path
 
