@@ -53,6 +53,60 @@ GROUP BY dd.lang
 """
 
 
+def _q_threshold_sweep(d: str) -> str:
+    """Quality-threshold calibration sweep (round-5 addition): keep-rate
+    of the rule battery at five candidate quality_score cutoffs in ONE
+    scan — the tuning query a quality-filter operator runs before
+    committing a threshold change fleet-wide. The 5-row threshold dim
+    cross-joins (broadcast NLJ in Spark — no shuffle added over the
+    plain rollup; at 10^12 rows the cost is 5x the map-side aggregate
+    input, still one Exchange on the 5-row GROUP BY)."""
+    ths = "\nUNION ALL ".join(
+        f"SELECT {sqlgen.fmt(t)} AS threshold"
+        for t in (0.3, 0.4, 0.5, 0.6, 0.7))
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)}),
+t AS ({ths})
+SELECT t.threshold AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN q.quality_score >= t.threshold
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM q CROSS JOIN t
+GROUP BY t.threshold
+"""
+
+
+def _q_score_quantiles(d: str) -> str:
+    """Portable EXACT discrete quantiles (p50/p90/p99) of quality_score
+    per language (round-5 addition): rank/count windows + pick the value
+    at CEIL(p*n) — the dialect-portable (and at scale the shuffle-frugal:
+    ONE exchange on lang) formulation of quantile_disc, with a total
+    (score, row_id) tie order so both engines pick the same row. Outputs
+    are actual score values (no interpolation arithmetic), so the
+    compare is float-exact by construction. CEIL yields an
+    integral-valued double; casting that is safe in both engines (the
+    DuckDB round-half-even vs Spark truncate divergence needs a
+    fractional part — see _q_pack_sequences)."""
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN rn = CAST(CEIL(n * {sqlgen.fmt(p)}) AS BIGINT) "
+        f"THEN score END) AS p{int(p * 100)}"
+        for p in (0.5, 0.9, 0.99))
+    return f"""
+WITH q AS ({sqlgen.quality_core_sql(d)}),
+s AS (SELECT dd.lang AS lang, q.quality_score AS score, q.row_id AS rid
+      FROM q JOIN documents dd ON q.row_id = dd.doc_id),
+r AS (SELECT lang, score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score, rid) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM s)
+SELECT lang,
+       {picks}
+FROM r
+GROUP BY lang
+"""
+
+
 def _q_tok_stats(d: str) -> str:
     """R15 analogue: token counting (whitespace + punct-trim) per doc."""
     toks = sqlgen.tokens_expr("text", d)
@@ -1352,6 +1406,11 @@ _SQL_BUILDERS: dict[str, Callable[[str], str]] = {
     "qf_core_documents": _q_core,
     "qf_scrub_documents": _q_scrub,
     "qf_keep_by_lang": _q_keep_by_lang,
+    # Round-5 additions: threshold calibration sweep + portable exact
+    # per-lang score quantiles (the two tuning queries a quality-filter
+    # operator runs before changing a cutoff).
+    "keep_threshold_sweep_documents": _q_threshold_sweep,
+    "score_quantiles_by_lang": _q_score_quantiles,
     "tok_stats_documents": _q_tok_stats,
     "bpe_token_count_documents": _q_bpe_tokens,
     "fingerprint_documents": _q_fingerprint,
@@ -2267,6 +2326,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # the flagship, the standalone langid UDF and the two approximate
     # ANN paths gained numpy-twin expected-table oracles — zero
     # rows-only entries remain) ---
+    "keep_threshold_sweep_documents",
+    "score_quantiles_by_lang",
     "qf_full_images",
     "langid_udf_documents",
     "ann_lsh_top10",
