@@ -113,8 +113,9 @@ def run_catalog_queries(spark, sf_dir: str) -> dict[str, float]:
              # round-4 additions
              "field_fallback_documents", "domain_normalize_documents",
              "cache_search_events",
-             # round-5 addition
-             "ops_dashboard_events")
+             # round-5 additions
+             "ops_dashboard_events", "keep_threshold_sweep_documents",
+             "score_quantiles_by_lang")
     reg = registry()
     times = {}
     for name in heads:
