@@ -278,7 +278,10 @@ with the ~0.85 best-sides estimate and clear of the 0.8 target without
 leaning on a lucky denominator. Two further round-5 idle-start re-runs
 landed inside the documented spread: 0.914 with a depressed 2-core side
 (13.7k — inflated ratio, discounted like the 0.928 one) and 0.801 with
-both sides mildly depressed (15.1k / 48.2k). The table keeps the run
+both sides mildly depressed (15.1k / 48.2k); a fourth re-run reproduced
+**0.844 exactly** at proportionally depressed sides (14.2k / 47.9k —
+when outside load hits numerator and denominator equally the ratio is
+stable, which is the property that carries to a fleet). The table keeps the run
 whose per-side rates are healthy (within ~10% of best observed per
 side); scaling runs are only meaningful when nothing else runs on the
 box (uptime load < 4) — this paragraph is part of the bench template so
