@@ -272,3 +272,45 @@ def test_field_fallback_and_domain_normalize_duck_vs_numpy(captions):
     for col in exp2.columns:
         assert [v if pd.notna(v) else None for v in got2[col]] \
             == list(exp2[col]), col
+
+
+@given(st.lists(ASCII_CAPTION, min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_threshold_sweep_and_quantiles_duck_vs_numpy(captions):
+    """Round-5 tuning queries: the DuckDB rendering of the threshold
+    calibration sweep and the portable exact discrete quantiles must
+    agree with an independent numpy evaluation of the same definitions
+    over rule_features (third-implementation agreement, like the other
+    rule twins). ASCII plane for the same case-folding reason as above."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from bioanalyzer_backend_spark.plans.catalog_queries import (
+        _q_score_quantiles, _q_threshold_sweep)
+    from bioanalyzer_backend_spark.sqlgen import DUCK
+
+    con = duckdb.connect()
+    langs = ["en", "es", "de"]
+    df = pd.DataFrame({"doc_id": range(len(captions)), "text": captions,
+                       "lang": [langs[i % 3] for i in range(len(captions))]})
+    con.register("documents", df)
+    scores = ri.rule_features(df["text"])["quality_score"].to_numpy()
+
+    sweep = con.execute(_q_threshold_sweep(DUCK)).df()
+    assert len(sweep) == 5
+    for _, row in sweep.iterrows():
+        assert row["n_docs"] == len(df)
+        assert row["n_keep"] == int((scores >= row["threshold"]).sum()), \
+            row["threshold"]
+
+    got = (con.execute(_q_score_quantiles(DUCK)).df()
+           .sort_values("lang").reset_index(drop=True))
+    for _, row in got.iterrows():
+        vals = np.sort(scores[df["lang"].to_numpy() == row["lang"]])
+        n = len(vals)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            # same IEEE double n*p the SQL computes, then CEIL
+            exp = vals[int(math.ceil(n * p)) - 1]
+            assert row[col] == exp, (row["lang"], col)
