@@ -3,6 +3,9 @@ hypothesis budgets): marker-dense random captions — rule keywords,
 sentinels, PII fragments, numerics, punctuation runs, whitespace junk —
 compared value-exactly across six twin families (core battery, scrub,
 field fallback, domain normalize, threshold sweep, discrete quantiles).
+The compare idioms mirror tests/test_properties.py's duck-vs-numpy
+tests (kept self-contained here — scripts must not import from tests/);
+if the NULL-canonicalization idiom changes there, change it here too.
 
 One-off evidence harness, not part of the pytest suite (runtime scales
 with --batches); round-5 run: 60 batches x 200 captions, zero
@@ -64,14 +67,17 @@ def rand_caption(rng: random.Random) -> str:
 def run(batches: int, rows: int, seed: int = 20260818) -> int:
     rng = random.Random(seed)
     fails = 0
+    con = duckdb.connect()          # ONE connection; re-registered per batch
     for batch in range(batches):
         caps = [rand_caption(rng) for _ in range(rows)]
         caps[0] = ""                      # always include the empty row
+        if rows > 1:
+            caps[1] = None                # and a NULL row: the pinned
+            # NULL-text=='' invariant must hold on every twin family
         df = pd.DataFrame({
             "doc_id": range(len(caps)), "text": caps,
             "lang": [["en", "es", "de", "fr", "zz"][i % 5]
                      for i in range(len(caps))]})
-        con = duckdb.connect()
         con.register("documents", df)
 
         got = (con.execute(sqlgen.quality_core_sql(DUCK)).df()
@@ -85,7 +91,8 @@ def run(batches: int, rows: int, seed: int = 20260818) -> int:
 
         sc = (con.execute(sqlgen.scrub_sql(DUCK)).df()
               .sort_values("row_id").reset_index(drop=True))
-        if list(sc["scrubbed"]) != [ri.scrub(c) for c in caps]:
+        if list(sc["scrubbed"]) != [ri.scrub(c if c is not None else "")
+                                    for c in caps]:
             print(f"SCRUB MISMATCH batch={batch}")
             fails += 1
 
