@@ -2421,6 +2421,17 @@ def _sweep_ordered(reg: dict[str, tuple]) -> dict[str, tuple]:
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    """Assemble the full (spark_fn, oracle_sql) registry.
+
+    Deliberate: the precomputed-ground-truth oracle builders below
+    (generator corpora + expected tables) run EAGERLY here, so every
+    oracle's input file exists before any consumer runs — the driver may
+    execute the DuckDB side before the Spark side, and a missing input
+    must fail loudly at build time rather than render SQL that points at
+    a file nobody wrote. The cost is a generate-once cache hit after the
+    first call; the testdata dir is a driver guarantee. (Considered and
+    rejected: lazy builders would narrow the failure to one oracle but
+    break the runs-DuckDB-first contract.)"""
     reg: dict[str, tuple] = {}
     for name, builder in _SQL_BUILDERS.items():
         if name == "minhash_lsh_pairs":
