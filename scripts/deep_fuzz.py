@@ -8,8 +8,8 @@ tests (kept self-contained here — scripts must not import from tests/);
 if the NULL-canonicalization idiom changes there, change it here too.
 
 One-off evidence harness, not part of the pytest suite (runtime scales
-with --batches); round-5 run: 60 batches x 200 captions, zero
-mismatches.
+with --batches); round-5 runs: 60x200 and 300x200 (60k captions incl.
+300 NULL rows) — zero mismatches.
 
 Run:  python scripts/deep_fuzz.py [--batches 60] [--rows 200]
 Exits 1 on any mismatch.
