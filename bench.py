@@ -281,7 +281,9 @@ landed inside the documented spread: 0.914 with a depressed 2-core side
 both sides mildly depressed (15.1k / 48.2k); a fourth re-run reproduced
 **0.844 exactly** at proportionally depressed sides (14.2k / 47.9k —
 when outside load hits numerator and denominator equally the ratio is
-stable, which is the property that carries to a fleet). The table keeps the run
+stable, which is the property that carries to a fleet), and a fifth
+measured 0.944 with the 2-core side depressed more than the 8-core side
+(15.1k / 57.0k — inflated, discounted like the 0.914 and 0.928 ones). The table keeps the run
 whose per-side rates are healthy (within ~10% of best observed per
 side); scaling runs are only meaningful when nothing else runs on the
 box (uptime load < 4) — this paragraph is part of the bench template so
