@@ -53,26 +53,40 @@ GROUP BY dd.lang
 """
 
 
+_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+
 def _q_threshold_sweep(d: str) -> str:
     """Quality-threshold calibration sweep (round-5 addition): keep-rate
     of the rule battery at five candidate quality_score cutoffs in ONE
     scan — the tuning query a quality-filter operator runs before
-    committing a threshold change fleet-wide. The 5-row threshold dim
-    cross-joins (broadcast NLJ in Spark — no shuffle added over the
-    plain rollup; at 10^12 rows the cost is 5x the map-side aggregate
-    input, still one Exchange on the 5-row GROUP BY)."""
+    committing a threshold change fleet-wide. Formulated as a SINGLE
+    aggregate with one conditional accumulator per cutoff (no row
+    expansion: an earlier cross-join-then-group form fed 5x the rows
+    into the partial agg — at 10^12 rows that is 4x10^12 wasted row
+    evaluations), then pivoted to rows by joining the 1-row aggregate
+    with the 5-row threshold dim (CASE picks the matching accumulator;
+    the equality compares identical CAST(x AS DOUBLE) literals, so it
+    is exact in both dialects)."""
+    accs = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN quality_score >= {sqlgen.fmt(t)} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS k{int(t * 10)}"
+        for t in _SWEEP_THRESHOLDS)
+    picks = " ".join(
+        f"WHEN t.threshold = {sqlgen.fmt(t)} THEN agg.k{int(t * 10)}"
+        for t in _SWEEP_THRESHOLDS)
     ths = "\nUNION ALL ".join(
-        f"SELECT {sqlgen.fmt(t)} AS threshold"
-        for t in (0.3, 0.4, 0.5, 0.6, 0.7))
+        f"SELECT {sqlgen.fmt(t)} AS threshold" for t in _SWEEP_THRESHOLDS)
     return f"""
 WITH q AS ({sqlgen.quality_core_sql(d)}),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       {accs}
+       FROM q),
 t AS ({ths})
 SELECT t.threshold AS threshold,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN q.quality_score >= t.threshold
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-FROM q CROSS JOIN t
-GROUP BY t.threshold
+       agg.n AS n_docs,
+       CASE {picks} END AS n_keep
+FROM agg CROSS JOIN t
 """
 
 
