@@ -181,3 +181,19 @@ def test_sampling_split_plans_have_expected_shuffles(spark):
         plan = _plan(reg[name][0](spark, SF01))
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Python" not in plan, name
+
+
+def test_threshold_sweep_aggregates_before_expanding(spark):
+    """The calibration sweep must be ONE aggregate (five conditional
+    accumulators) pivoted by a tiny broadcast join — never a 5x row
+    expansion feeding the partial agg (the rejected cross-join-then-
+    group form). Load-bearing at 10^12 rows: 4x10^12 avoided row
+    evaluations."""
+    fn, _ = registry()["keep_threshold_sweep_documents"]
+    plan = _plan(fn(spark, SF01))            # tree form: one line per op
+    assert "Expand" not in plan              # no GROUPING-SETS style blowup
+    # exactly one partial/final HashAggregate pair over the battery scan
+    assert plan.count("HashAggregate") == 2
+    # the pivot joins AFTER aggregation: a 1-row side against the 5-row
+    # dim via broadcast nested loop, never the raw battery rows
+    assert "BroadcastNestedLoopJoin" in plan
