@@ -60,12 +60,43 @@ def _published_groups(spark: SparkSession,
     return {r["part_id"] for r in df.select("part_id").distinct().collect()}
 
 
+_CKPT_SCHEMA = ("part_id int, run_id string, n_rows long, "
+                "committed_at double, n_groups int")
+
+
+def check_n_groups(spark: SparkSession, ckpt: LocalSnapshotTable,
+                   n_groups: int) -> None:
+    """Refuse to resume under a different group count than the one the
+    checkpoint rows were committed with: part_id is a hash MODULO
+    n_groups, so reinterpreting committed ids under a new modulus
+    silently reprocesses already-published rows (duplicates) and/or
+    skips unprocessed ones. Pre-guard checkpoint rows (no n_groups
+    column / NULL) are tolerated — they cannot be distinguished, which
+    is exactly why new rows record it."""
+    df = ckpt.read(spark)
+    if df is None or "n_groups" not in df.columns:
+        return
+    rec = {r[0] for r in df.select("n_groups")
+           .where(F.col("n_groups").isNotNull()).distinct().collect()}
+    if rec and rec != {n_groups}:
+        raise ValueError(
+            f"checkpoint table was committed with n_groups={sorted(rec)}; "
+            f"resuming with n_groups={n_groups} would duplicate and/or "
+            f"skip rows — rerun with the original value")
+
+
 def reconcile(spark: SparkSession, results: LocalSnapshotTable,
               audit: LocalSnapshotTable, ckpt: LocalSnapshotTable,
-              run_id: str) -> list[int]:
+              run_id: str, n_groups: int | None = None) -> list[int]:
     """Roll forward half-committed groups (rows published, checkpoint row
     missing after a crash): regenerate their audit rows from the published
     results and append the checkpoint row. Returns the groups repaired.
+
+    Assumes no SIBLING run is concurrently mid-commit on this warehouse:
+    a live sibling sitting between its results append and its ckpt
+    append is indistinguishable from a crash, and repairing it here
+    races its own audit append (doubled lineage rows). See
+    run_with_resume's concurrency note.
 
     Idempotent per group: the crash may have happened AFTER the group's
     audit append (commit order is results -> audit -> ckpt), so the
@@ -77,17 +108,23 @@ def reconcile(spark: SparkSession, results: LocalSnapshotTable,
     quality_filter.py rows_this_run)."""
     half = sorted(_published_groups(spark, results)
                   - committed_groups(spark, ckpt))
+    if not half:
+        return half
+    full = results.read(spark)     # one table open for all repaired groups
     for g in half:
-        out = results.read(spark).where(F.col("part_id") == g)
-        # SQL-string predicate so BOTH table backends accept it
-        # (IcebergTable.delete_where interpolates into DELETE FROM ...
-        # WHERE, which cannot take a Column object)
-        audit.delete_where(spark, f"group_id = {int(g)}")
-        audit.append(audit_rows(out, run_id, None, group_id=g))
-        n_rows = out.count()
+        out = full.where(F.col("part_id") == g).persist()
+        try:
+            # SQL-string predicate so BOTH table backends accept it
+            # (IcebergTable.delete_where interpolates into DELETE FROM ...
+            # WHERE, which cannot take a Column object)
+            audit.delete_where(spark, f"group_id = {int(g)}")
+            audit.append(audit_rows(out, run_id, None, group_id=g))
+            n_rows = out.count()    # cached — audit agg materialized it
+        finally:
+            out.unpersist()
         ckpt.append(spark.createDataFrame(
-            [(g, f"repair:{run_id}", n_rows, float(time.time()))],
-            "part_id int, run_id string, n_rows long, committed_at double"))
+            [(g, f"repair:{run_id}", n_rows, float(time.time()),
+              n_groups)], _CKPT_SCHEMA))
     return half
 
 
@@ -99,9 +136,26 @@ def stage_input(spark: SparkSession, images: DataFrame, stage_path: str,
     hash, so the filter can never push down to the source); the staged
     layout turns each group's read into partition pruning — one input
     scan total, one pruned directory per group. At warehouse scale this
-    staging step IS the bucket(image_id, N)-partitioned Iceberg table."""
-    (images.withColumn("part_id", group_of("image_id", n_groups))
-     .write.mode("overwrite").partitionBy("part_id").parquet(stage_path))
+    staging step IS the bucket(image_id, N)-partitioned Iceberg table.
+
+    The GLOBAL dedup flag is stamped here, before the input is split:
+    duplicates share a phash but have distinct image_ids, so a dup pair
+    lands in different id-hash groups with probability (n-1)/n — a
+    per-group dedup inside the group loop would mark both members
+    canonical, disagreeing with the whole-table batch pipeline (the same
+    reason streaming/ingest.py disables in-stream dedup). Computing
+    is_dup over the full frame here makes the resumed run's flags
+    byte-identical to a plain quality_filter run, and does the dedup
+    shuffle ONCE instead of once per group."""
+    if "part_id" in images.columns:
+        # same clash discipline as apply_core_rules' temp columns and
+        # skew._check_no_salt_col: silently overwriting (and later
+        # dropping) a caller's part_id would vanish their column
+        raise ValueError("stage_input reserves the column name 'part_id'; "
+                         "rename it on the input")
+    tagged = pipe.apply_dedup_flag(images) \
+        .withColumn("part_id", group_of("image_id", n_groups))
+    tagged.write.mode("overwrite").partitionBy("part_id").parquet(stage_path)
     return spark.read.parquet(stage_path)
 
 
@@ -209,19 +263,31 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
     kill/restart scenarios of SURVEY.md section 5.5).
 
     ``sweep_stale_stages`` (default on) removes crashed runs' stage-*
-    dirs under the stage root before staging anew. Live siblings are
-    protected by a per-run flock liveness lock (the
+    dirs under the stage root before staging anew. Live siblings'
+    STAGED INPUT is protected by a per-run flock liveness lock (the
     ``.stage-<run_id>.lock`` dotfile beside the stage dir, held for the
     run's duration, kernel-released on process death — the
     sources/catalog.py _commit_lock pattern): the sweep only removes a
-    stage dir whose lock it can acquire, so several CONCURRENT runs may
-    share one ``stage_dir`` safely. The lock file sits BESIDE the dir
-    (not inside: Spark's overwrite write recreates the stage dir, which
-    would drop an in-dir lock file) and is never unlinked (see
+    stage dir whose lock it can acquire. The lock file sits BESIDE the
+    dir (not inside: Spark's overwrite write recreates the stage dir,
+    which would drop an in-dir lock file) and is never unlinked (see
     _sweep_dead_stages).
+
+    Concurrency contract (be precise about what is and is not safe):
+    crash/RESTART sequences are exactly-once (the checkpoint anti-join +
+    reconcile roll-forward), and SIMULTANEOUS runs can never corrupt a
+    table (every append is an atomic snapshot commit) or yank each
+    other's staged input (the liveness lock) — but group processing
+    across simultaneous runs is AT-LEAST-ONCE: two runs that both read
+    committed_groups before either commits group g will both process
+    and append g (duplicate rows), and a sibling mid-commit can be
+    "repaired" by the other's reconcile (doubled audit rows). Run one
+    writer at a time per warehouse; concurrency belongs BETWEEN
+    warehouses, or inside a run via Spark's own parallelism.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    repaired = reconcile(spark, results, audit, ckpt, run_id)
+    check_n_groups(spark, ckpt, n_groups)
+    repaired = reconcile(spark, results, audit, ckpt, run_id, n_groups)
     done = committed_groups(spark, ckpt)
     todo = [g for g in range(n_groups) if g not in done]
     n_committed = 0
@@ -253,8 +319,12 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
             sub = staged.where(F.col("part_id") == g).drop("part_id")
             # one materialization feeds all three consumers (results
             # sink, audit aggregation, row count) — uncached, the
-            # UDF-gated pipeline would execute three times per group
-            out = pipe.quality_filter(sub).withColumn("part_id", F.lit(g))
+            # UDF-gated pipeline would execute three times per group.
+            # with_dedup=False: is_dup was stamped GLOBALLY at staging
+            # (stage_input) — a per-group dedup here would miss dup pairs
+            # split across id-hash groups
+            out = pipe.quality_filter(sub, with_dedup=False) \
+                .withColumn("part_id", F.lit(g))
             out = out.persist()
             try:
                 results.append(out)
@@ -269,9 +339,8 @@ def run_with_resume(spark: SparkSession, images: DataFrame,
                         f"injected failure after audit of group {g}")
                 n_rows = out.count()          # cached — no recomputation
                 ckpt.append(spark.createDataFrame(
-                    [(g, run_id, n_rows, float(time.time()))],
-                    "part_id int, run_id string, n_rows long, "
-                    "committed_at double"))
+                    [(g, run_id, n_rows, float(time.time()), n_groups)],
+                    _CKPT_SCHEMA))
             finally:
                 out.unpersist()
             n_committed += 1

@@ -43,13 +43,29 @@ class LocalSnapshotTable:
         return os.path.join(self.meta_dir, "HEAD")
 
     def current_snapshot(self) -> dict | None:
+        """HEAD manifest, or None for a genuinely empty table (no HEAD).
+
+        A HEAD that names a MISSING manifest is corruption, not
+        emptiness, and must raise: treating it as None would report the
+        table empty and the next append would commit parent=None with
+        files=[] + its batch — silently and permanently publishing the
+        truncation of the whole prior table (partial restore / rsync of
+        the metadata dir is the realistic trigger; _commit fsyncs file
+        contents, not the directory entry ordering)."""
         try:
             with open(self._head_path()) as f:
                 name = f.read().strip()
+        except FileNotFoundError:
+            return None
+        try:
             with open(os.path.join(self.meta_dir, name)) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return None
+            raise RuntimeError(
+                f"snapshot table {self.root} is corrupt: HEAD names "
+                f"{name} but that manifest does not exist — refusing to "
+                f"treat the table as empty (restore the metadata dir or "
+                f"repoint HEAD at a surviving snap-*.json)") from None
 
     def _commit(self, files: list[str], parent: str | None,
                 operation: str) -> str:
@@ -234,13 +250,24 @@ class LocalSnapshotTable:
         """MERGE semantics (INSERT OR REPLACE of cache_manager.py:100-111):
         matched target rows are replaced by source rows, unmatched source
         rows are inserted. Anti-join + union rewrite, committed with
-        optimistic retry (see _commit_rewrite)."""
+        optimistic retry (see _commit_rewrite).
+
+        Schema: allowMissingColumns=True because the target's merged
+        schema may carry columns the source lacks (e.g. the appender's
+        _batch_id/_query_id bookkeeping) — inserted/kept rows get NULL
+        for the other side's missing columns, exactly like SQL MERGE's
+        unset columns. Key semantics follow SQL MERGE / Iceberg, not a
+        unique index: a NULL source key never matches (SQL NULL
+        equality), so NULL-key rows are always INSERTED alongside
+        existing NULL-key rows; duplicate keys WITHIN one src batch are
+        all inserted (a cardinality Iceberg would reject) — dedupe the
+        batch upstream if last-wins is wanted."""
         def df_fn():
             cur_df = self.read(spark)
             if cur_df is None:
                 return src
             kept = cur_df.join(src.select(key), key, "left_anti")
-            return kept.unionByName(src)
+            return kept.unionByName(src, allowMissingColumns=True)
 
         return self._commit_rewrite(df_fn, "merge")
 

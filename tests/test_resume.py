@@ -17,10 +17,15 @@ def _tables(tmp_path):
 
 
 def _collect_sorted(spark, tbl):
+    # is_dup included since round 5: the dedup flag is stamped GLOBALLY
+    # at staging, so resumed runs match the whole-table batch pipeline
+    # on it too (previously group-local and excluded here)
     df = tbl.read(spark)
-    return sorted((r["image_id"], r["keep"], r["scrubbed_caption"])
+    return sorted((r["image_id"], r["keep"], r["scrubbed_caption"],
+                   r["is_dup"])
                   for r in df.select("image_id", "keep",
-                                     "scrubbed_caption").collect())
+                                     "scrubbed_caption",
+                                     "is_dup").collect())
 
 
 def test_resume_after_injected_failure(spark, synth_images_df, tmp_path,
@@ -32,6 +37,19 @@ def test_resume_after_injected_failure(spark, synth_images_df, tmp_path,
     stats = run_with_resume(spark, df, r_res, r_aud, r_ck, n_groups=4)
     assert stats["newly_committed"] == 4
     expected = _collect_sorted(spark, r_res)
+
+    # the grouped/resumed run must agree with the PLAIN whole-table
+    # pipeline on every flag — including is_dup, whose dup pairs span
+    # id-hash groups (group-local dedup would mark both canonical)
+    from bioanalyzer_backend_spark.plans import pipeline as P
+    plain = sorted(
+        (r["image_id"], r["keep"], r["scrubbed_caption"], r["is_dup"])
+        for r in P.quality_filter(df)
+        .select("image_id", "keep", "scrubbed_caption", "is_dup")
+        .collect())
+    assert expected == plain
+    # sanity: the corpus actually exercises the cross-group case
+    assert any(t[3] for t in plain), "corpus must contain dup rows"
 
     # crashed run: dies after 2 of 4 group commits
     c_res, c_aud, c_ck = _tables(tmp_path / "crash")
@@ -259,3 +277,60 @@ def test_input_scanned_once_via_staging(spark, synth_images_df, tmp_path,
     assert acc.value == 200, (
         f"input lineage ran {acc.value / 200:.1f}x per row; staging "
         "must evaluate it exactly once")
+
+
+def test_resume_rejects_changed_n_groups(spark, synth_images_df, tmp_path):
+    """part_id is a hash modulo n_groups; resuming under a different
+    modulus reinterprets committed ids and silently duplicates/skips
+    rows — must raise instead (checkpoint rows record n_groups)."""
+    df = synth_images_df.limit(120)
+    res, aud, ck = _tables(tmp_path / "ng")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_resume(spark, df, res, aud, ck, n_groups=4, fail_after=1)
+    with pytest.raises(ValueError, match="n_groups"):
+        run_with_resume(spark, df, res, aud, ck, n_groups=8)
+    # the original value still resumes fine
+    stats = run_with_resume(spark, df, res, aud, ck, n_groups=4)
+    assert stats["groups_done"] == 4
+
+
+def test_stage_input_rejects_part_id_clash(spark, synth_images_df, tmp_path):
+    """Same clash discipline as apply_core_rules / salted aggs: a
+    caller's pre-existing part_id column must raise, not silently
+    vanish."""
+    from pyspark.sql import functions as F
+
+    from bioanalyzer_backend_spark.plans.resume import stage_input
+    df = synth_images_df.limit(10).withColumn("part_id", F.lit(7))
+    with pytest.raises(ValueError, match="part_id"):
+        stage_input(spark, df, str(tmp_path / "stage"), 4)
+
+
+def test_corrupt_head_raises_not_empty(spark, tmp_path):
+    """HEAD naming a missing manifest is corruption: reading it as an
+    empty table would let the next append permanently publish the
+    truncation of all prior contents."""
+    import os
+
+    tbl = LocalSnapshotTable(str(tmp_path / "t"))
+    tbl.append(spark.range(5).toDF("x"))
+    snap = tbl.current_snapshot()
+    os.remove(os.path.join(tbl.meta_dir, snap["snapshot"]))
+    with pytest.raises(RuntimeError, match="corrupt"):
+        tbl.current_snapshot()
+    with pytest.raises(RuntimeError, match="corrupt"):
+        tbl.read(spark)
+
+
+def test_merge_by_key_with_extra_target_columns(spark, tmp_path):
+    """A target that carries bookkeeping columns the source lacks (the
+    appender's _batch_id/_query_id shape) must merge, with NULLs for the
+    source side's missing columns — previously unionByName crashed."""
+    tbl = LocalSnapshotTable(str(tmp_path / "mx"))
+    tbl.append(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11)], "k int, v string, _batch_id long"))
+    tbl.merge_by_key(
+        spark, spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string"),
+        "k")
+    rows = {r["k"]: (r["v"], r["_batch_id"]) for r in tbl.read(spark).collect()}
+    assert rows == {1: ("a", 10), 2: ("B", None), 3: ("C", None)}
