@@ -16,8 +16,6 @@ id (broadcast-able) — see plans/pipeline.apply_dedup_flag.
 
 from __future__ import annotations
 
-from itertools import chain
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -51,17 +49,18 @@ def exact_dedup(df: DataFrame, key: str = "phash",
     if "_canonical" in df.columns:
         raise ValueError("exact_dedup reserves the column name "
                          "'_canonical'; rename it on the input")
-    # .distinct() guards the left join against fan-out when the INPUT
-    # carries duplicate ids (two keys sharing a min id): the old
-    # semi-join was immune to slim-side duplicates, the marker join is
-    # not. Near-free: the join repartitions slim by id anyway, so the
-    # distinct is one extra hash-agg over already-exchanged slim rows.
+    # Join on (id, key), not id alone: when the INPUT carries duplicate
+    # ids across keys, an id that is canonical for key B must not rescue
+    # that same id's non-canonical membership of key A — an id-only
+    # marker join kept (id=2, key=A) because min(B)=2 (caught by a
+    # round-5 review; the per-key twin apply_dedup_flag always had the
+    # per-key semantics). The (min-id, key) pairs are unique per key, so
+    # no distinct is needed to guard the left join against fan-out.
     slim = (df.where(F.col(key).isNotNull())
             .select(id_col, key)
             .groupBy(key).agg(F.min(id_col).alias(id_col))
-            .select(id_col).distinct()
             .withColumn("_canonical", F.lit(True)))
-    return (df.join(slim, id_col, "left")
+    return (df.join(slim, [id_col, key], "left")
             .where(F.col(key).isNull() | F.col("_canonical").isNotNull())
             .drop("_canonical"))
 
@@ -220,6 +219,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "caption",
         # the shuffled volume (see cap_buckets)
         sig, hot = cap_buckets(sig, ["band", "sig"], max_bucket,
                                min_bucket=2)
+    else:
+        # the capped branch gets its lineage snapshot inside cap_buckets;
+        # the explicit opt-out must snapshot too, or the a/b self-join
+        # re-executes the md5-per-shingle HOF pipeline once per side
+        # (the multi-branch CTE landmine — same fix as simhash_candidates)
+        sig = sig.localCheckpoint(eager=True)
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -258,6 +263,17 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "caption",
     hot = None
     if max_posting is not None:
         sh, hot = cap_buckets(sh, ["shingle"], max_posting)
+    else:
+        # sh feeds THREE plan branches (sizes, x alias, y alias); the
+        # capped path snapshots inside cap_buckets, the default must too
+        # or tokenize+explode re-executes per branch
+        sh = sh.localCheckpoint(eager=True)
+    # jaccard is only well-defined on a SET of pairs: a duplicate
+    # (id_a, id_b) row would double inter while na/nb stay exact,
+    # inflating the measure past 1.0 and falsely verifying pairs. The
+    # registry callers pass distinct candidates already; this guards the
+    # public API (slim 2-col frame — the dedup is one cheap hash agg).
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("x")
              .join(pairs, F.col("x._id") == F.col("id_a"))
@@ -395,13 +411,17 @@ def simhash_batch(texts: pd.Series) -> pd.Series:
     (round 1 hashed byte-at-a-time per row — scripts/bench_simhash.py)."""
     global _GBUF, _OBUF
     n_rows = len(texts)
-    sig = np.zeros(n_rows, dtype=np.uint64)
+    # explicit little-endian: byte j of the signature carries vote-bits
+    # 8j..8j+7 (packbits bitorder='little' below), so the uint8 view
+    # must be LE on ANY host — a native-order view on a big-endian
+    # worker would byteswap every signature vs the md5-slice oracle
+    sig = np.zeros(n_rows, dtype="<u8")
     if n_rows == 0:
-        return pd.Series(sig.view(np.int64))
+        return pd.Series(sig.view("<i8").astype(np.int64, copy=False))
     row_of, tok_codes, trim_uniq = _tokenize_batch(texts)
     n_vocab = len(trim_uniq)
     if tok_codes.size == 0:
-        return pd.Series(sig.view(np.int64))
+        return pd.Series(sig.view("<i8").astype(np.int64, copy=False))
     # per-row DISTINCT tokens: unique (row, code) keys, sorted by row
     keys = np.unique(row_of * np.int64(n_vocab) + tok_codes)
     pair_rows = keys // n_vocab
@@ -440,7 +460,7 @@ def simhash_batch(texts: pd.Series) -> pd.Series:
         pos = np.multiply(ones, 2, dtype=np.int32) > counts[nz[i:j], None]
         sig8[nz[i:j]] = np.packbits(pos, axis=1, bitorder="little")
         i = j
-    return pd.Series(sig.view(np.int64))
+    return pd.Series(sig.view("<i8").astype(np.int64, copy=False))
 
 
 def with_simhash(df: DataFrame, text_col: str = "caption") -> DataFrame:

@@ -314,6 +314,12 @@ def _parse_avi_rgb24(data: bytes):
                     raise ValueError("avih not seen before frames")
                 row = w * 3
                 stride = row + (4 - row % 4) % 4
+                if size < stride * h:
+                    # a truncated frame chunk must be an ERROR, not a
+                    # silent read past the chunk boundary into the next
+                    # chunk's bytes (garbage pixels with no signal)
+                    raise ValueError(
+                        f"truncated frame chunk: {size} < {stride * h}")
                 raw = np.frombuffer(data, np.uint8, stride * h, body_lo)
                 px = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)
                 frames.append(px[::-1, :, ::-1].copy())   # bottom-up BGR

@@ -244,7 +244,12 @@ def embedding_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     per-pair work is one dot product) re-attach BY ID after the pair set
     exists."""
     b = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes, vec_col)
-    slim = b.select(F.col(id_col).alias("_id"), "lsh_bucket")
+    # snapshot before the a/b self-join: slim feeds both aliases, and an
+    # un-checkpointed pandas-UDF lineage re-executes the hyperplane
+    # matmul + full-corpus Arrow transfer once per branch (the same
+    # multi-branch landmine simhash_candidates documents)
+    slim = b.select(F.col(id_col).alias("_id"), "lsh_bucket") \
+        .localCheckpoint(eager=True)
     a, c = slim.alias("a"), slim.alias("b")
     cand = (a.join(c, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
                    & (F.col("a._id") < F.col("b._id")))

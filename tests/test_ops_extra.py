@@ -690,6 +690,48 @@ def test_jaccard_verify_hot_shingle_cap_bounds_pairs(spark):
     assert ver2.count() == n0
 
 
+def test_jaccard_verify_dedups_duplicate_candidate_pairs(spark):
+    """A duplicate (id_a, id_b) candidate row must not double-count the
+    intersection (jaccard is defined on a SET of pairs; a doubled inter
+    over exact na/nb inflates the measure past 1.0 and falsely verifies
+    pairs — pinned by the round-5 dropDuplicates guard)."""
+    base = ("a scenic view of mountains under a clear blue sky with "
+            "green trees and a quiet lake in the foreground")
+    near = base.replace("quiet", "calm")
+    df = spark.createDataFrame([("d1", base), ("d2", near)],
+                               "image_id string, caption string")
+    dup_pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d2"), ("d1", "d2")],
+        "id_a string, id_b string")
+    ver = dedup.jaccard_verify(df, dup_pairs, threshold=0.5).collect()
+    assert len(ver) == 1
+    assert ver[0]["jaccard"] == pytest.approx(_true_jaccard(base, near))
+
+
+def test_avi_truncated_frame_chunk_is_error_not_garbage():
+    """A '00db' chunk whose declared size is smaller than one full frame
+    must raise (error row), never read past the chunk boundary into the
+    next chunk's bytes (silent garbage pixels)."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 255, (6, 5, 3), dtype=np.uint8)
+              for _ in range(2)]
+    avi = bytearray(multimodal.encode_avi_rgb24(frames, fps=4))
+    pos = avi.find(b"00db")
+    assert pos > 0
+    full = struct.unpack_from("<I", avi, pos + 4)[0]
+    struct.pack_into("<I", avi, pos + 4, full - 4)   # truncate the frame
+    with pytest.raises(ValueError, match="truncated frame chunk"):
+        multimodal._parse_avi_rgb24(bytes(avi))
+    # the untouched encoding still parses (the guard binds on size only)
+    got, spf = multimodal._parse_avi_rgb24(
+        multimodal.encode_avi_rgb24(frames, fps=4))
+    assert len(got) == 2 and (got[0] == frames[0]).all()
+
+
 def test_knn_join_matches_numpy(spark, emb_df):
     """Batched k-NN join == per-query numpy brute force (ids AND
     rounded cosines), queries = first 10 vectors, corpus = the rest."""
@@ -874,8 +916,8 @@ def test_cache_search_newest_first_and_all_stores(spark):
 def test_exact_dedup_no_fanout_on_duplicate_ids(spark):
     """The marker-join rewrite must stay fan-out-free when the INPUT
     violates id uniqueness (two keys sharing a min id): output rows
-    <= input rows always — the old semi-join was immune, the left join
-    needs slim-side distinct to be."""
+    <= input rows always — joining on (id, key) makes the slim side
+    unique per key, so no distinct is needed."""
     df = spark.createDataFrame(
         [(1, "a"), (1, "b"), (2, "a"), (3, None)],
         "image_id long, phash string")
@@ -883,6 +925,19 @@ def test_exact_dedup_no_fanout_on_duplicate_ids(spark):
     assert len(out) == 3  # both id=1 rows kept (each a key-min), null passes
     assert sorted((r.image_id, r.phash) for r in out) \
         == [(1, "a"), (1, "b"), (3, None)]
+
+
+def test_exact_dedup_cross_key_id_reuse_not_rescued(spark):
+    """An id that is canonical for key B must NOT rescue that same id's
+    NON-canonical membership of key A (round-5 review: the previous
+    id-only marker join kept (2, a) because min(b) = 2 — diverging from
+    the per-key twin apply_dedup_flag, which flags it is_dup)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b")],
+        "image_id long, phash string")
+    out = sorted((r.image_id, r.phash)
+                 for r in dedup.exact_dedup(df).collect())
+    assert out == [(1, "a"), (2, "b")]
 
 
 # --------------------------------------------------------------------------
