@@ -223,6 +223,14 @@ def _decode_wav_pcm16(data: bytes):
         cid = data[pos:pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            # a chunk whose declared size overruns the file must be an
+            # ERROR, not a silently shortened payload (the slice clamps):
+            # an even-length truncation would otherwise yield a wrong
+            # duration/rms with ok=true (same guard as the AVI parser's
+            # truncated-frame check)
+            raise ValueError(
+                f"truncated {cid!r} chunk: {len(body)} < {size}")
         if cid == b"fmt ":
             audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]

@@ -732,6 +732,35 @@ def test_avi_truncated_frame_chunk_is_error_not_garbage():
     assert len(got) == 2 and (got[0] == frames[0]).all()
 
 
+def test_wav_truncated_data_chunk_is_error_not_short_read():
+    """A 'data' chunk whose declared size overruns the file must raise
+    (error row), never silently clamp to the bytes present — an
+    even-length truncation would yield a wrong duration/rms with
+    ok=true."""
+    import struct
+
+    import numpy as np
+
+    rate = 8000
+    samples = np.sin(np.linspace(0, 20, rate)).astype(np.float64)
+    wav = multimodal.encode_wav_pcm16(samples, rate)
+    # cut an even number of bytes off the end: payload stays i2-aligned,
+    # so without the guard frombuffer succeeds on the short read
+    cut = bytes(wav[:-100])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._decode_wav_pcm16(cut)
+    # a declared size larger than the body raises too
+    grown = bytearray(wav)
+    pos = grown.find(b"data")
+    declared = struct.unpack_from("<I", grown, pos + 4)[0]
+    struct.pack_into("<I", grown, pos + 4, declared + 64)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._decode_wav_pcm16(bytes(grown))
+    # the untouched encoding still parses
+    pcm, got_rate = multimodal._decode_wav_pcm16(wav)
+    assert got_rate == rate and len(pcm) == rate
+
+
 def test_knn_join_matches_numpy(spark, emb_df):
     """Batched k-NN join == per-query numpy brute force (ids AND
     rounded cosines), queries = first 10 vectors, corpus = the rest."""
