@@ -9,7 +9,8 @@ if the NULL-canonicalization idiom changes there, change it here too.
 
 One-off evidence harness, not part of the pytest suite (runtime scales
 with --batches); round-5 runs: 60x200 and 300x200 (60k captions incl.
-300 NULL rows) — zero mismatches.
+300 NULL rows), plus a final 120x200 at seed 20260819 on the shipped
+code — zero mismatches.
 
 Run:  python scripts/deep_fuzz.py [--batches 60] [--rows 200]
 Exits 1 on any mismatch.
