@@ -283,7 +283,10 @@ both sides mildly depressed (15.1k / 48.2k); a fourth re-run reproduced
 when outside load hits numerator and denominator equally the ratio is
 stable, which is the property that carries to a fleet), and a fifth
 measured 0.944 with the 2-core side depressed more than the 8-core side
-(15.1k / 57.0k — inflated, discounted like the 0.914 and 0.928 ones). The table keeps the run
+(15.1k / 57.0k — inflated, discounted like the 0.914 and 0.928 ones); a
+sixth, on the final round-5 code, measured 0.965 with both sides
+depressed but the 2-core side more so (13.5k / 51.9k — inflated,
+discounted by the same standard even though it flatters the engine). The table keeps the run
 whose per-side rates are healthy (within ~10% of best observed per
 side); scaling runs are only meaningful when nothing else runs on the
 box (uptime load < 4) — this paragraph is part of the bench template so
